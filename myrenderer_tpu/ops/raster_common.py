@@ -1,0 +1,222 @@
+"""Shared rasterization math (device side, jnp).
+
+This module is the single source of truth for every per-triangle /
+per-pixel decision: the slow full-frame oracle (``raster_ref.py``) and the
+tiled Pallas kernel (``raster_pallas.py``) both consume the coefficients
+produced here and apply the same rules in the same order, which is what
+makes their outputs bit-identical (BASELINE.md "bit-stable depth").
+
+It re-implements, explicitly, the fixed-function stages the reference got
+from GPU hardware via ``mach.gpu`` (``Renderer/Pipeline.zig:137-161``):
+triangle assembly, cw-front/back-face culling, viewport transform,
+coverage with a top-left fill rule, perspective-correct attribute
+interpolation, and a depth32 less-test.
+
+Method: clipless 2D-homogeneous rasterization (Olano & Greer 1997).
+Instead of clipping polygons to the frustum, edge functions are built
+directly from clip-space coordinates lifted to pixel space:
+
+    u_i = (0.5*x_i + 0.5*w_i) * W          (x: NDC -> pixel, y flipped)
+    v_i = (0.5*w_i - 0.5*y_i) * H
+    P_i = (u_i, v_i, w_i)
+
+    e_k(p) = det[P_i, P_j, p],   p = (px, py, 1)   (k,i,j cyclic)
+
+e_k is linear in (px, py): e_k = a_k*px + b_k*py + c_k. These weights are
+proportional to beta_k / w_k (screen barycentric over vertex w), giving:
+
+    coverage:  all e_k on the det's sign side (+ top-left rule on zeros)
+    facing:    det = e_0(P_0) > 0  <=>  clockwise in y-down pixel space
+    depth:     z_ndc(p)  = sum_k e_k z_k / sum_k e_k w_k   (z = clip z)
+    varyings:  attr(p)   = sum_k e_k attr_k / sum_k e_k    (persp-correct)
+
+Pixel centers sample at (px + 0.5, py + 0.5).
+
+Current contract (v1): triangles with any vertex at w <= W_EPS are
+dropped (no near-plane straddling support yet); in-frustum geometry —
+which includes every BASELINE.json config — renders identically to a
+clipping rasterizer, because x/y overflow is handled by the frame bounds
+and z in [0,1] is enforced per pixel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Minimum clip-space w for a triangle to be rasterized.
+W_EPS = 1e-6
+
+# Number of packed f32 lanes per triangle in the coefficient record.
+# Layout (see pack_coeffs): a0,b0,c0, a1,b1,c1, a2,b2,c2, zna,znb,znc,
+# wna,wnb,wnc, valid. Color numerators ride separately (resolve pass).
+COEFF_LANES = 16
+
+
+class TriCoeffs(NamedTuple):
+    """Per-triangle linear coefficients, all shaped [T, ...]."""
+
+    edge_a: jax.Array   # [T, 3]
+    edge_b: jax.Array   # [T, 3]
+    edge_c: jax.Array   # [T, 3]
+    z_abc: jax.Array    # [T, 3]  depth numerator:  sum_k e_k * z_k
+    w_abc: jax.Array    # [T, 3]  depth denominator: sum_k e_k * w_k
+    col_abc: jax.Array  # [T, 3, C] varying numerators: sum_k e_k * col_k
+    en_abc: jax.Array   # [T, 3]  varying denominator: sum_k e_k
+    valid: jax.Array    # [T] bool
+
+
+def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
+                   valid: jax.Array, width: int, height: int,
+                   cull_mode: str = "back") -> TriCoeffs:
+    """Assemble per-triangle linear coefficients.
+
+    tri_clip: f32[T, 3, 4] clip positions, tri_vary: f32[T, 3, C]
+    varyings, valid: bool[T] submission-level validity (padding /
+    culled instances).
+
+    Culling reproduces ``Pipeline.zig:145-149``: front face is clockwise
+    in framebuffer space; ``cull_mode='back'`` keeps det > 0 only (which
+    also drops zero-area degenerates, making zero padding free).
+    """
+    f32 = jnp.float32
+    x, y, z, w = (tri_clip[..., i].astype(f32) for i in range(4))
+
+    u = (0.5 * x + 0.5 * w) * f32(width)
+    v = (0.5 * w - 0.5 * y) * f32(height)
+
+    def cyc(arr, k):
+        return arr[:, k]
+
+    # edge k spans vertices (k+1, k+2) mod 3
+    i = jnp.array([1, 2, 0])
+    j = jnp.array([2, 0, 1])
+    ui, vi, wi = u[:, i], v[:, i], w[:, i]
+    uj, vj, wj = u[:, j], v[:, j], w[:, j]
+
+    a = vi * wj - vj * wi                       # [T, 3]
+    b = uj * wi - ui * wj
+    c = ui * vj - uj * vi
+
+    # det = e_0 evaluated at P_0 (homogeneous)
+    det = a[:, 0] * u[:, 0] + b[:, 0] * v[:, 0] + c[:, 0] * w[:, 0]
+
+    if cull_mode == "back":
+        facing_ok = det > 0
+        sign = jnp.ones_like(det)
+    elif cull_mode == "front":
+        facing_ok = det < 0
+        sign = -jnp.ones_like(det)
+    elif cull_mode == "none":
+        facing_ok = det != 0
+        sign = jnp.sign(det)
+    else:
+        raise ValueError(f"unknown cull_mode {cull_mode!r}")
+
+    # Orient edges so interior is always e > 0.
+    a = a * sign[:, None]
+    b = b * sign[:, None]
+    c = c * sign[:, None]
+
+    w_ok = jnp.all(w > W_EPS, axis=1)
+    valid = valid & facing_ok & w_ok
+
+    z_abc = jnp.stack([(a * z).sum(1), (b * z).sum(1), (c * z).sum(1)], axis=1)
+    w_abc = jnp.stack([(a * w).sum(1), (b * w).sum(1), (c * w).sum(1)], axis=1)
+    en_abc = jnp.stack([a.sum(1), b.sum(1), c.sum(1)], axis=1)
+    col = tri_vary.astype(f32)                   # [T, 3, C]
+    col_abc = jnp.stack([
+        jnp.einsum("tk,tkc->tc", a, col),
+        jnp.einsum("tk,tkc->tc", b, col),
+        jnp.einsum("tk,tkc->tc", c, col),
+    ], axis=1)                                   # [T, 3, C]
+
+    return TriCoeffs(edge_a=a, edge_b=b, edge_c=c, z_abc=z_abc,
+                     w_abc=w_abc, col_abc=col_abc, en_abc=en_abc,
+                     valid=valid)
+
+
+def pack_coeffs(tc: TriCoeffs) -> jax.Array:
+    """Pack the pass-1 (visibility) coefficients into f32[T, COEFF_LANES]
+    for streaming into the Pallas kernel."""
+    return jnp.concatenate([
+        jnp.stack([tc.edge_a[:, 0], tc.edge_b[:, 0], tc.edge_c[:, 0],
+                   tc.edge_a[:, 1], tc.edge_b[:, 1], tc.edge_c[:, 1],
+                   tc.edge_a[:, 2], tc.edge_b[:, 2], tc.edge_c[:, 2]],
+                  axis=1),
+        tc.z_abc, tc.w_abc,
+        tc.valid.astype(jnp.float32)[:, None],
+    ], axis=1)
+
+
+def edge_is_top_left(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Top-left fill rule for interior-positive edges in y-down pixel
+    space: a zero edge value is covered iff the edge is a 'left' edge
+    (a > 0, i.e. the winding travels upward) or a 'top' edge (exactly
+    horizontal, a == 0, traveling rightward: b > 0). Guarantees shared
+    edges between adjacent triangles are covered exactly once."""
+    return (a > 0) | ((a == 0) & (b > 0))
+
+
+def coverage_depth(tc_row_px, px, py):
+    """Evaluate one triangle's coverage mask and depth over a pixel grid.
+
+    ``tc_row_px`` is a tuple of per-triangle scalars
+    (a0,b0,c0,a1,b1,c1,a2,b2,c2, zna,znb,znc, wna,wnb,wnc, valid).
+    ``px``/``py`` are pixel-center coordinate grids (any broadcastable
+    shape). Returns (covered: bool, z: f32) with z in NDC depth.
+
+    This is THE shared decision rule: both rasterizer backends call it.
+    """
+    (a0, b0, c0, a1, b1, c1, a2, b2, c2,
+     zna, znb, znc, wna, wnb, wnc, validf) = tc_row_px
+    e0 = a0 * px + b0 * py + c0
+    e1 = a1 * px + b1 * py + c1
+    e2 = a2 * px + b2 * py + c2
+    cov = (((e0 > 0) | ((e0 == 0) & edge_is_top_left(a0, b0)))
+           & ((e1 > 0) | ((e1 == 0) & edge_is_top_left(a1, b1)))
+           & ((e2 > 0) | ((e2 == 0) & edge_is_top_left(a2, b2))))
+    zn = zna * px + znb * py + znc
+    wn = wna * px + wnb * py + wnc
+    z = zn / wn
+    cov = cov & (wn > 0) & (z >= 0.0) & (validf > 0)
+    return cov, z
+
+
+def depth_test_update(cov, z, depth, winner, tri_index):
+    """Depth 'less' compare (Pipeline.zig:150-154) against the running
+    depth buffer; ties keep the earlier triangle (submission order), which
+    both backends guarantee by iterating triangles in order."""
+    win = cov & (z < depth)
+    return (jnp.where(win, z, depth),
+            jnp.where(win, jnp.int32(tri_index), winner))
+
+
+def resolve_varyings(tc: TriCoeffs, winner: jax.Array,
+                     px: jax.Array, py: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Pass 2: for each pixel, interpolate the winning triangle's
+    varyings (perspective-correct). Returns (varyings f32[H,W,C],
+    covered bool[H,W])."""
+    covered = winner >= 0
+    t = jnp.maximum(winner, 0)
+    col_abc = tc.col_abc[t]                      # [H, W, 3, C]
+    en_abc = tc.en_abc[t]                        # [H, W, 3]
+    en = (en_abc[..., 0] * px + en_abc[..., 1] * py + en_abc[..., 2])
+    cn = (col_abc[..., 0, :] * px[..., None]
+          + col_abc[..., 1, :] * py[..., None]
+          + col_abc[..., 2, :])
+    varp = cn / en[..., None]
+    return varp, covered
+
+
+def pixel_grids(height: int, width: int, y0: int = 0, x0: int = 0):
+    """Pixel-center coordinate grids for a (height, width) region whose
+    top-left pixel is (x0, y0)."""
+    py = (jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+          + jnp.float32(y0) + 0.5)
+    px = (jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+          + jnp.float32(x0) + 0.5)
+    return px, py

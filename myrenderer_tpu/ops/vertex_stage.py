@@ -1,0 +1,119 @@
+"""Device-side scene math: transform composition, conservative culling,
+batched vertex transform (all jnp, runs inside the jitted frame).
+
+Replaces the reference's pointer-chasing scene recursion
+(``Renderer/SceneNode.zig:91-132``) with level-scheduled batched 4x4
+matmuls over a structure-of-arrays node table, and its per-vertex WGSL
+shader execution (``Pipeline.zig:95-98``) with a ``jax.vmap`` of the
+pipeline's Python vertex function.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def compose_world_transforms(locals_: jax.Array,
+                             levels: Sequence[np.ndarray],
+                             parents: np.ndarray) -> jax.Array:
+    """Compose hierarchical node transforms.
+
+    locals_: f32[N, 4, 4] local transforms in node-table order.
+    levels: static schedule — arrays of node indices at depth 1, 2, ...
+    (depth-0 roots keep their local transform). parents: i32[N].
+
+    world[n] = world[parent[n]] @ local[n]  — the composition order of
+    ``SceneNode.zig:96`` (``Mat.mul(&pass.xform, &node.xform)``).
+    """
+    world = locals_
+    for idxs in levels:
+        if len(idxs) == 0:
+            continue
+        p = parents[idxs]
+        upd = jnp.einsum("nij,njk->nik", world[p], locals_[idxs])
+        world = world.at[idxs].set(upd)
+    return world
+
+
+def cull_aabb(clip_mats: jax.Array, aabb_min: jax.Array,
+              aabb_max: jax.Array, finite: jax.Array) -> jax.Array:
+    """Conservative frustum culling (the *intent* of ``SceneNode.zig:111``,
+    whose any-corner test is effectively always-true — SURVEY.md §2.5).
+
+    clip_mats: f32[I, 4, 4] (projection @ world), aabb_min/max: f32[I, 3],
+    finite: bool[I] (False => infinite default AABB => always visible).
+
+    A box is culled only when all 8 corners are outside one clip
+    half-space (x,y in [-w, w], z in [0, w] — WebGPU conventions).
+    Conservative: may render invisible geometry, never culls visible.
+    """
+    corners = jnp.stack([
+        jnp.stack([
+            jnp.where(jnp.array([(k >> 0) & 1, (k >> 1) & 1, (k >> 2) & 1],
+                                bool), aabb_max, aabb_min)
+            for k in range(8)
+        ], axis=1)  # [I, 8, 3]
+    ], axis=0)[0]
+    ones = jnp.ones(corners.shape[:-1] + (1,), corners.dtype)
+    hom = jnp.concatenate([corners, ones], axis=-1)      # [I, 8, 4]
+    cc = jnp.einsum("iab,ikb->ika", clip_mats, hom)       # [I, 8, 4]
+    x, y, z, w = cc[..., 0], cc[..., 1], cc[..., 2], cc[..., 3]
+    outside = (jnp.all(x < -w, axis=1) | jnp.all(x > w, axis=1)
+               | jnp.all(y < -w, axis=1) | jnp.all(y > w, axis=1)
+               | jnp.all(z < 0, axis=1) | jnp.all(z > w, axis=1))
+    return jnp.where(finite, ~outside, True)
+
+
+class VertexCtx:
+    """Per-vertex inputs handed to a pipeline's vertex function (the
+    analogue of WGSL @builtin/@location inputs + bind groups).
+
+    Inside ``vmap``: ``vertex_index`` is a scalar i32, ``attrs`` maps
+    attribute names to f32[k] vectors, ``world`` is the composed f32[4,4]
+    transform (the 'builtin transform' binding,
+    ``Pipeline.zig:47-49``), ``instance_id`` indexes stacked binding
+    arrays: ``binding(loc)`` returns that instance's value.
+    """
+
+    def __init__(self, vertex_index, attrs, world, instance_id, bindings):
+        self.vertex_index = vertex_index
+        self.attrs = attrs
+        self.world = world
+        self.instance_id = instance_id
+        self._bindings = bindings
+
+    def attr(self, name):
+        return self.attrs[name]
+
+    def binding(self, location: int):
+        """This instance's value for binding ``location``. The stacked
+        [I, ...] array is indexed by instance id; XLA fuses the row
+        gather into downstream use."""
+        return self._bindings[location][self.instance_id]
+
+    def binding_stacked(self, location: int):
+        """The raw stacked [I, ...] array (for custom gathers)."""
+        return self._bindings[location]
+
+
+def run_vertex_stage(vertex_fn: Callable, vertex_index: jax.Array,
+                     attrs: dict, worlds: jax.Array, iids: jax.Array,
+                     bindings: dict) -> tuple[jax.Array, jax.Array]:
+    """vmap the vertex function over a packed vertex stream.
+
+    vertex_index: i32[V]; attrs: name -> f32[V, k]; worlds: f32[I, 4, 4];
+    iids: i32[V]; bindings: loc -> stacked [I, ...] arrays.
+    Returns (clip f32[V, 4], varyings f32[V, C]).
+    """
+
+    def one(vi, attr_row, iid):
+        ctx = VertexCtx(vi, attr_row, worlds[iid], iid, bindings)
+        clip, vary = vertex_fn(ctx)
+        return (jnp.asarray(clip, jnp.float32),
+                jnp.asarray(vary, jnp.float32))
+
+    return jax.vmap(one)(vertex_index, attrs, iids)

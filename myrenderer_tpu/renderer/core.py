@@ -1,0 +1,133 @@
+"""Renderer core: frame clock, object registries, window adoption.
+
+Mirrors ``Renderer/Renderer.zig`` (module state + pools, :21-34) and the
+slice of ``mach.Core`` the reference actually uses (window size/format +
+frame timing, SURVEY.md §1 L2). There is no OS window: a Window here is a
+headless render target — an HBM-resident RGBA framebuffer — which is all
+the reference's swap chain was to the renderer (a color attachment,
+``Surface.zig:144-145``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Window:
+    """Headless render target (swap-chain analogue).
+
+    Owns the color framebuffer: f32[H, W, 4] RGBA in HBM. ``read_pixels``
+    quantizes to uint8 the way a bgra8unorm swap chain would.
+    """
+
+    _next_id = 0
+
+    def __init__(self, width: int, height: int, title: str = ""):
+        self.id = Window._next_id
+        Window._next_id += 1
+        self.width = int(width)
+        self.height = int(height)
+        self.title = title
+        self.framebuffer = jnp.zeros((self.height, self.width, 4),
+                                     jnp.float32)
+
+    @property
+    def framebuffer_size(self) -> tuple[int, int]:
+        return (self.width, self.height)
+
+    def read_pixels(self, as_uint8: bool = True) -> np.ndarray:
+        fb = np.asarray(self.framebuffer)
+        if not as_uint8:
+            return fb
+        return np.clip(np.rint(fb * 255.0), 0, 255).astype(np.uint8)
+
+
+class Core:
+    """Frame-loop driver (the used slice of ``mach.Core``): creates
+    windows and feeds the renderer's clock (``Renderer.zig:42-43``).
+
+    ``fixed_timestep`` makes frames deterministic (tests, goldens);
+    ``None`` uses wall-clock deltas (interactive/bench).
+    """
+
+    def __init__(self, fixed_timestep: Optional[float] = None):
+        self.windows: list[Window] = []
+        self.fixed_timestep = fixed_timestep
+        self._last_time = time.perf_counter()
+
+    def create_window(self, width: int, height: int, title: str = "") -> Window:
+        w = Window(width, height, title)
+        self.windows.append(w)
+        return w
+
+    def next_delta_time(self) -> float:
+        if self.fixed_timestep is not None:
+            return self.fixed_timestep
+        now = time.perf_counter()
+        dt = now - self._last_time
+        self._last_time = now
+        return dt
+
+
+class Renderer:
+    """Top-level renderer module state (``Renderer/Renderer.zig:21-34``):
+    frame clock, uniform ring-slot counter, adopted window, and the object
+    registries for pipelines / instances / surfaces / scene nodes / draws.
+
+    ``current_buffer_slot`` cycles mod MAX_COPIES=4 (``Instance.zig:53``)
+    for API parity; with a functional frame step there is no CPU/GPU
+    buffer race to multi-buffer against, so it carries no semantics here.
+    """
+
+    MAX_COPIES = 4
+
+    def __init__(self, core: Optional[Core] = None,
+                 raster_backend: str = "auto"):
+        self.core = core or Core(fixed_timestep=1.0 / 60.0)
+        self.delta_time = 0.0
+        self.elapsed_time = 0.0
+        self.frame_counter = 1
+        self.current_buffer_slot = 0
+
+        self.window: Optional[Window] = None
+
+        self.pipelines: list = []
+        self.instances: list = []
+        self.surfaces: list = []
+        self.scene_nodes: list = []
+        self.draws: list = []
+
+        # bumped on any structural scene change -> frame program rebuild
+        self.scene_version = 0
+
+        # 'oracle' (full-frame jnp), 'pallas' (tiled kernel), or 'auto'
+        # (pallas on TPU, oracle elsewhere)
+        self.raster_backend = raster_backend
+
+    # -- lifecycle (Renderer.zig:36-56) ------------------------------------
+
+    def adopt_window(self, window: Window) -> None:
+        """Bind the renderer to a window's framebuffer (the analogue of
+        grabbing device/queue/format at ``Renderer.zig:46-50``)."""
+        self.window = window
+
+    def update(self) -> None:
+        """Advance the frame clock (``Renderer.zig:52-56``)."""
+        self.current_buffer_slot = (self.current_buffer_slot + 1) % self.MAX_COPIES
+        self.frame_counter += 1
+        self.delta_time = self.core.next_delta_time()
+        self.elapsed_time += self.delta_time
+
+    def bump_scene_version(self) -> None:
+        self.scene_version += 1
+
+    # -- registry helpers ---------------------------------------------------
+
+    def _register(self, pool: list, obj) -> int:
+        pool.append(obj)
+        self.bump_scene_version()
+        return len(pool) - 1

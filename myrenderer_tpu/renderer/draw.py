@@ -1,0 +1,350 @@
+"""Draw: frame composition and the compiled frame program.
+
+Mirrors ``Renderer/Draw.zig``'s API (begin / clear / draw_surface / end,
+:15-34) but replaces the command-encoder + queue.submit model with the
+TPU-native equivalent: ``end()`` runs ONE jitted function — scene
+transform composition, culling, vertex transform, rasterization and
+composition for every drawn surface — over device-resident arrays, and
+swaps the window's framebuffer. "The whole frame never leaves the TPU"
+(BASELINE.json north star); per frame the host uploads only the node-
+local transforms and any bindings written since the last frame.
+
+Frame-program compilation: the scene graph is flattened to a
+structure-of-arrays schedule (node table + per-depth level lists), and
+each surface's draw items (pre-order walk, ``SceneNode.zig:119-128``) are
+grouped into *batches* of consecutive items sharing a pipeline. The
+program is cached and rebuilt only when ``renderer.scene_version`` moves
+(structural changes); transform/uniform updates are plain arguments.
+
+Surface composition semantics (``Draw.zig:23-27`` + ``Surface.zig:
+103-133``): the staged clear color applies to the first drawn surface
+only (later surfaces load), and each surface clears its own depth to 1.0.
+The per-frame surface dedupe guard is implemented working (the
+reference's is inert, SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import raster_ref
+from ..ops import raster_common as rc
+from ..ops import vertex_stage as vs
+from .instance import Instance
+from .pipeline import Pipeline
+
+
+# --------------------------------------------------------------------------
+# static frame plan
+# --------------------------------------------------------------------------
+
+@dataclass
+class _BatchPlan:
+    pipeline: Pipeline
+    instances: list
+    node_indices: np.ndarray        # [I]
+    iids: np.ndarray                # [V] i32
+    vertex_index: np.ndarray        # [V] i32
+    tri_count: int
+    attr_offsets: dict              # name -> (offset, width) or {}
+    binding_locs: tuple             # managed/attachment locations
+    slices: list                    # per instance: (first_vertex, count)
+
+
+@dataclass
+class _SurfacePlan:
+    surface_id: int
+    batches: list
+
+
+@dataclass
+class _FramePlan:
+    n_nodes: int
+    parents: np.ndarray
+    levels: list
+    surfaces: list
+    clear_flags: tuple
+    width: int
+    height: int
+    backend: str
+    fn: object = None
+
+
+def _build_levels(nodes):
+    parents = np.full(len(nodes), -1, np.int32)
+    depth = np.zeros(len(nodes), np.int32)
+    for n in nodes:
+        if n.parent is not None:
+            parents[n.index] = n.parent.index
+    # nodes are registered before their children can be attached, but
+    # recompute depths generically (parents may be created in any order)
+    changed = True
+    while changed:
+        changed = False
+        for n in nodes:
+            if n.parent is not None:
+                d = depth[n.parent.index] + 1
+                if depth[n.index] != d:
+                    depth[n.index] = d
+                    changed = True
+    levels = []
+    for d in range(1, int(depth.max()) + 1 if len(nodes) else 1):
+        idxs = np.nonzero(depth == d)[0].astype(np.int32)
+        if len(idxs):
+            levels.append(idxs)
+    return parents, levels
+
+
+def _build_batches(surface, renderer):
+    items = []
+    for node in surface.base_node.walk():
+        if node.backing_instance is not None:
+            items.append((node, node.backing_instance))
+    batches = []
+    for node, inst in items:
+        if inst.vertex_buffer.instance_count != 1:
+            raise NotImplementedError(
+                "instance_count > 1 not yet supported")
+        if batches and batches[-1].pipeline is inst.pipeline:
+            b = batches[-1]
+            b.instances.append(inst)
+            b.node_indices = np.append(b.node_indices, node.index)
+        else:
+            batches.append(_BatchPlan(
+                pipeline=inst.pipeline, instances=[inst],
+                node_indices=np.array([node.index], np.int32),
+                iids=None, vertex_index=None, tri_count=0,
+                attr_offsets={}, binding_locs=(), slices=[]))
+
+    for b in batches:
+        iids, vidx, slices = [], [], []
+        for i, inst in enumerate(b.instances):
+            vb = inst.vertex_buffer
+            if b.pipeline.vertex_layout is not None and not vb.has_buffer:
+                raise ValueError(
+                    "pipeline declares a vertex layout but instance has a "
+                    "buffer-less VertexBuffer (set one via "
+                    "set_vertex_buffer)")
+            count = vb.vertex_count
+            first = vb.first_vertex
+            iids.append(np.full(count, i, np.int32))
+            vidx.append(np.arange(first, first + count, dtype=np.int32))
+            slices.append((first, count))
+        b.iids = np.concatenate(iids) if iids else np.zeros(0, np.int32)
+        b.vertex_index = (np.concatenate(vidx) if vidx
+                          else np.zeros(0, np.int32))
+        total = int(b.iids.shape[0])
+        if total % 3:
+            raise ValueError("vertex stream not a multiple of 3")
+        b.tri_count = total // 3
+        b.slices = slices
+        layout = b.pipeline.vertex_layout
+        b.attr_offsets = layout.offsets() if layout is not None else {}
+        b.binding_locs = tuple(
+            bl.location for bl in b.pipeline.bindings
+            if bl.kind != "builtin_transform")
+    return _SurfacePlan(surface_id=surface.id, batches=batches)
+
+
+# --------------------------------------------------------------------------
+# the traced frame function
+# --------------------------------------------------------------------------
+
+def _frame_fn(plan: _FramePlan, args):
+    fb = args["fb"]
+    world = vs.compose_world_transforms(args["locals"], plan.levels,
+                                        plan.parents)
+    H, W = plan.height, plan.width
+
+    for s_i, splan in enumerate(plan.surfaces):
+        sargs = args["surfaces"][s_i]
+        persp = sargs["persp"]
+
+        if plan.clear_flags[s_i]:
+            fb = jnp.broadcast_to(sargs["clear"], (H, W, 4)).astype(
+                jnp.float32)
+
+        # per-node clip matrices + hierarchical conservative visibility
+        clip_all = jnp.einsum("ab,nbc->nac", persp, world)
+        vis = vs.cull_aabb(clip_all, args["aabb_min"], args["aabb_max"],
+                           args["finite"])
+        for idxs in plan.levels:
+            vis = vis.at[idxs].set(vis[idxs] & vis[plan.parents[idxs]])
+
+        depth = jnp.full((H, W), 1.0, jnp.float32)
+        for b_i, b in enumerate(splan.batches):
+            bargs = sargs["batches"][b_i]
+            clip_mats = clip_all[b.node_indices]          # [I,4,4]
+            inst_vis = vis[b.node_indices]                # [I]
+
+            # packed attribute rows for this batch's vertex stream
+            attrs = {}
+            if b.attr_offsets:
+                rows = [vb_arr[fv:fv + count]
+                        for vb_arr, (fv, count)
+                        in zip(bargs["vbs"], b.slices)]
+                packed = (jnp.concatenate(rows, axis=0) if len(rows) > 1
+                          else rows[0])
+                attrs = {name: packed[:, off:off + wdt]
+                         for name, (off, wdt) in b.attr_offsets.items()}
+
+            bindings = {loc: jnp.stack(arrs) if len(arrs) > 1 else arrs[0][None]
+                        for loc, arrs in bargs["bindings"].items()}
+
+            clip, vary = vs.run_vertex_stage(
+                b.pipeline.vertex_fn, jnp.asarray(b.vertex_index), attrs,
+                clip_mats, jnp.asarray(b.iids), bindings)
+
+            tri_clip = clip.reshape(b.tri_count, 3, 4)
+            tri_vary = vary.reshape(b.tri_count, 3, vary.shape[-1])
+            tri_iid = jnp.asarray(b.iids[::3])
+            valid = inst_vis[tri_iid]
+
+            tc = rc.triangle_setup(tri_clip, tri_vary, valid, W, H,
+                                   b.pipeline.cull_mode)
+            if plan.backend == "pallas":
+                from ..ops import raster_pallas
+                depth2, winner = raster_pallas.rasterize_visibility(
+                    tc, H, W, depth=depth)
+            else:
+                depth2, winner = raster_ref.rasterize_visibility(
+                    tc, H, W, depth=depth)
+            if b.pipeline.depth_write:
+                depth = depth2
+            fb = raster_ref.shade(tc, winner, fb, b.pipeline.fragment_fn)
+    return fb
+
+
+# --------------------------------------------------------------------------
+# Draw object (public API)
+# --------------------------------------------------------------------------
+
+class Draw:
+    def __init__(self, renderer):
+        self.renderer = renderer
+        self._items: list = []
+        self._clear: Optional[np.ndarray] = None
+        self._program_cache: dict = {}
+        self.id = renderer._register(renderer.draws, self)
+
+    @staticmethod
+    def create(renderer) -> "Draw":
+        """``Draw.create`` (``Draw.zig:37-39``)."""
+        return Draw(renderer)
+
+    def begin(self) -> None:
+        self._items = []
+        self._clear = None
+
+    def clear(self, color) -> None:
+        """Stage a clear color for the next drawn surface
+        (``Draw.zig:19-21``)."""
+        c = np.asarray(color, np.float32).reshape(-1)
+        if c.size == 3:
+            c = np.append(c, np.float32(1.0))
+        self._clear = c
+
+    def draw_surface(self, surface) -> None:
+        """``Draw.zig:23-27`` + working per-frame dedupe
+        (``Surface.zig:136-138`` intent)."""
+        if surface.frame_counter == self.renderer.frame_counter:
+            return
+        surface.frame_counter = self.renderer.frame_counter
+        self._items.append((surface, self._clear))
+        self._clear = None
+
+    def end(self):
+        """Execute the frame (``Draw.zig:29-34``): run the jitted frame
+        program and publish the new framebuffer to the window."""
+        rend = self.renderer
+        window = rend.window
+        if window is None:
+            raise RuntimeError("renderer has not adopted a window")
+        if not self._items:
+            return window.framebuffer
+
+        plan = self._get_plan(window)
+        args = self._gather_args(plan, window)
+        fb = plan.fn(args)
+        window.framebuffer = fb
+        return fb
+
+    # -- internals -----------------------------------------------------------
+
+    def _resolve_backend(self) -> str:
+        b = self.renderer.raster_backend
+        if b != "auto":
+            return b
+        return "pallas" if jax.default_backend() != "cpu" else "oracle"
+
+    def _get_plan(self, window) -> _FramePlan:
+        rend = self.renderer
+        backend = self._resolve_backend()
+        key = (rend.scene_version, window.id,
+               tuple(s.id for s, _ in self._items),
+               tuple(c is not None for _, c in self._items),
+               window.width, window.height, backend)
+        plan = self._program_cache.get(key)
+        if plan is not None:
+            return plan
+
+        parents, levels = _build_levels(rend.scene_nodes)
+        surfaces = []
+        for s, _ in self._items:
+            if s.window is not window:
+                raise ValueError("surface targets a different window")
+            s.rebuild()
+            surfaces.append(_build_batches(s, rend))
+        plan = _FramePlan(
+            n_nodes=len(rend.scene_nodes), parents=parents, levels=levels,
+            surfaces=surfaces,
+            clear_flags=tuple(c is not None for _, c in self._items),
+            width=window.width, height=window.height, backend=backend)
+        plan.fn = jax.jit(functools.partial(_frame_fn, plan))
+        self._program_cache[key] = plan
+        return plan
+
+    def _gather_args(self, plan: _FramePlan, window) -> dict:
+        rend = self.renderer
+        nodes = rend.scene_nodes
+        locals_ = np.stack([n.xform for n in nodes]).astype(np.float32)
+        aabb_min = np.stack([np.nan_to_num(n.bounding_box_p0,
+                                           neginf=-1e30, posinf=1e30)
+                             for n in nodes]).astype(np.float32)
+        aabb_max = np.stack([np.nan_to_num(n.bounding_box_p1,
+                                           neginf=-1e30, posinf=1e30)
+                             for n in nodes]).astype(np.float32)
+        finite = np.array([n.has_finite_aabb for n in nodes], bool)
+
+        surfaces = []
+        for (surface, clear), splan in zip(self._items, plan.surfaces):
+            batches = []
+            for b in splan.batches:
+                vbs = [inst.vertex_buffer.device_array()
+                       for inst in b.instances
+                       if inst.vertex_buffer.has_buffer]
+                bindings = {loc: [inst.binding_device_array(loc)
+                                  for inst in b.instances]
+                            for loc in b.binding_locs}
+                batches.append({"vbs": vbs, "bindings": bindings})
+            surfaces.append({
+                "persp": jnp.asarray(surface.perspective_matrix),
+                "clear": jnp.asarray(
+                    clear if clear is not None
+                    else np.zeros(4, np.float32)),
+                "batches": batches,
+            })
+        return {
+            "fb": window.framebuffer,
+            "locals": jnp.asarray(locals_),
+            "aabb_min": jnp.asarray(aabb_min),
+            "aabb_max": jnp.asarray(aabb_max),
+            "finite": jnp.asarray(finite),
+            "surfaces": surfaces,
+        }

@@ -1,0 +1,143 @@
+"""Pipeline and VertexLayout: the programmable-stage description.
+
+Mirrors ``Renderer/Pipeline.zig`` and ``Renderer/VertexLayout.zig``, with
+one deliberate substitution: where the reference carries WGSL source
+strings compiled by the GPU driver (``Pipeline.zig:95-98``), a pipeline
+here carries *Python callables* traced by XLA into the jitted frame:
+
+    vertex_fn(ctx: VertexCtx) -> (clip_pos f32[4], varyings f32[4])
+    fragment_fn(varyings f32[..., 4]) -> rgba f32[..., 4]   (vectorized)
+
+The default fragment function is the reference's pass-through color
+shader (``Pipeline.zig:12-32``). Fixed raster state defaults match
+``Pipeline.zig:145-154``: triangle lists, clockwise front faces, back
+culling, depth32 write-enabled with a 'less' compare.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence, Tuple
+
+# Binding kinds (BindingLayout union, Pipeline.zig:34-55)
+MANAGED_UNIFORM = "managed_uniform"
+MANAGED_STORAGE = "managed_storage"
+UNMANAGED_BUFFER = "unmanaged_buffer"
+BUILTIN_TRANSFORM = "builtin_transform"
+TEXTURE_VIEW = "texture_view"
+TEXTURE_SAMPLER = "texture_sampler"
+
+_KINDS = (MANAGED_UNIFORM, MANAGED_STORAGE, UNMANAGED_BUFFER,
+          BUILTIN_TRANSFORM, TEXTURE_VIEW, TEXTURE_SAMPLER)
+
+
+@dataclass(frozen=True)
+class BindingLayout:
+    """One bind-group slot (``Pipeline.zig:34-55``). Locations must be
+    dense and declared in order — the contract the reference's
+    ``update_buffer`` silently assumes (``Instance.zig:180-185``,
+    SURVEY.md §2.5); we validate instead of assuming."""
+
+    location: int
+    kind: str
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown binding kind {self.kind!r}")
+
+
+@dataclass(frozen=True)
+class VertexLayout:
+    """Packed vertex attribute layout (``VertexLayout.zig:9-31``).
+
+    fields: ordered (name, width) pairs; field order is shader location
+    order, widths are float32 lane counts (Vec2/Vec3/Vec4 -> 2/3/4).
+    """
+
+    fields: Tuple[Tuple[str, int], ...]
+
+    @staticmethod
+    def create(fields: Sequence[Tuple[str, int]]) -> "VertexLayout":
+        for name, width in fields:
+            if width not in (1, 2, 3, 4):
+                raise ValueError(f"attribute {name!r}: width {width} "
+                                 "not in 1..4 (float32xN formats)")
+        return VertexLayout(tuple((str(n), int(w)) for n, w in fields))
+
+    @property
+    def stride(self) -> int:
+        return sum(w for _, w in self.fields)
+
+    def offsets(self) -> dict:
+        out, at = {}, 0
+        for name, width in self.fields:
+            out[name] = (at, width)
+            at += width
+        return out
+
+
+def default_fragment_fn(color):
+    """Pass-through vertex color (``Pipeline.zig:12-32``)."""
+    return color
+
+
+class Pipeline:
+    """A render pipeline: vertex/fragment programs + binding layout +
+    raster state. Create through ``Pipeline.create`` (``Pipeline.zig:92``).
+    """
+
+    def __init__(self, renderer, vertex_fn: Callable,
+                 fragment_fn: Optional[Callable],
+                 bindings: Sequence[BindingLayout],
+                 vertex_layout: Optional[VertexLayout],
+                 cull_mode: str, front_face: str,
+                 depth_write: bool, depth_compare: str):
+        self.renderer = renderer
+        self.vertex_fn = vertex_fn
+        self.fragment_fn = fragment_fn or default_fragment_fn
+        self.bindings = tuple(bindings)
+        self.vertex_layout = vertex_layout
+        self.cull_mode = cull_mode
+        self.front_face = front_face
+        self.depth_write = depth_write
+        self.depth_compare = depth_compare
+
+        locs = [b.location for b in self.bindings]
+        if locs != list(range(len(locs))):
+            raise ValueError(
+                "binding locations must be dense and declared in order "
+                f"(got {locs}) — contract inherited from the reference's "
+                "location==index assumption (Instance.zig:180-185)")
+        self.id = renderer._register(renderer.pipelines, self)
+
+    @staticmethod
+    def create(renderer, *, vertex_fn: Callable,
+               fragment_fn: Optional[Callable] = None,
+               bindings: Sequence[BindingLayout] = (),
+               vertex_layout: Optional[VertexLayout] = None,
+               cull_mode: str = "back", front_face: str = "cw",
+               depth_write: bool = True,
+               depth_compare: str = "less") -> "Pipeline":
+        if front_face != "cw":
+            raise NotImplementedError(
+                "only front_face='cw' (the reference's fixed state, "
+                "Pipeline.zig:145-149) is supported")
+        if depth_compare not in ("less",):
+            raise NotImplementedError("depth_compare must be 'less'")
+        return Pipeline(renderer, vertex_fn, fragment_fn, bindings,
+                        vertex_layout, cull_mode, front_face,
+                        depth_write, depth_compare)
+
+    def get_builtin_location(self, builtin: str = "transform") -> Optional[int]:
+        """``Pipeline.zig:62-70``."""
+        assert builtin == "transform"
+        for b in self.bindings:
+            if b.kind == BUILTIN_TRANSFORM:
+                return b.location
+        return None
+
+    def destroy(self) -> None:
+        """``Pipeline.zig:72-80`` — drop from the registry."""
+        if self in self.renderer.pipelines:
+            self.renderer.pipelines.remove(self)
+            self.renderer.bump_scene_version()

@@ -1,0 +1,236 @@
+"""End-to-end render tests through the full public API.
+
+BASELINE.json config[0]: "single flat-shaded triangle to offscreen
+Surface", plus transform/culling/multi-surface semantics from the
+reference (SURVEY.md §4.3).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myrenderer_tpu import (Binding, BindingLayout, Core, Draw, Instance,
+                            Pipeline, Renderer, SceneNode, Surface,
+                            VertexBuffer, VertexLayout, math3d)
+from myrenderer_tpu.renderer.pipeline import BUILTIN_TRANSFORM
+
+
+def make_renderer(w=64, h=64, backend="oracle"):
+    core = Core(fixed_timestep=1.0 / 60.0)
+    window = core.create_window(w, h, "test")
+    rend = Renderer(core, raster_backend=backend)
+    rend.adopt_window(window)
+    return rend, window
+
+
+def flat_pipeline(rend):
+    """2D colored-vertex pipeline, like the Polygon module's
+    (Polygon.zig:31-38): clip pos = world_xform @ (x, y, 1, 1)."""
+    layout = VertexLayout.create([("pos", 2), ("color", 3)])
+
+    def vertex_fn(ctx):
+        p = ctx.attr("pos")
+        pos = jnp.array([p[0], p[1], 1.0, 1.0], jnp.float32)
+        clip = ctx.world @ pos
+        c = ctx.attr("color")
+        return clip, jnp.array([c[0], c[1], c[2], 1.0], jnp.float32)
+
+    return Pipeline.create(
+        rend, vertex_fn=vertex_fn,
+        bindings=[BindingLayout(0, BUILTIN_TRANSFORM)],
+        vertex_layout=layout), layout
+
+
+def triangle_node(rend, pipeline, layout, pts, color=(1.0, 0.0, 0.0)):
+    vb = VertexBuffer.new(rend, 0, len(pts) // 3, layout)
+    rows = np.array([[x, y, *color] for x, y in pts], np.float32)
+    vb.write_vertices(rows)
+    node = Instance.create_node(
+        rend, pipeline=pipeline,
+        bounding_box_p0=(min(p[0] for p in pts), min(p[1] for p in pts), 0.0),
+        bounding_box_p1=(max(p[0] for p in pts), max(p[1] for p in pts), 1.5))
+    node.get_backing().set_vertex_buffer(vb)
+    return node
+
+
+def ortho_unit():
+    """Maps [0,1]x[0,1] (y-down UI space) onto the full frame."""
+    return math3d.projection_2d(left=0.0, right=1.0, bottom=1.0, top=0.0,
+                                near=0.1, far=2.0)
+
+
+def render_frame(rend, surfaces, clear=(0.0, 0.0, 0.0, 1.0)):
+    draw = Draw.create(rend)
+    draw.begin()
+    draw.clear(clear)
+    for s in surfaces:
+        draw.draw_surface(s)
+    fb = draw.end()
+    rend.update()
+    return np.asarray(fb)
+
+
+def test_flat_triangle_offscreen():
+    rend, window = make_renderer()
+    pipe, layout = flat_pipeline(rend)
+    # CW in y-down UI space: covers lower-left half-ish of unit square
+    node = triangle_node(rend, pipe, layout,
+                         [(0.1, 0.1), (0.9, 0.1), (0.1, 0.9)])
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    fb = render_frame(rend, [surf], clear=(0.0, 0.0, 1.0, 1.0))
+
+    assert fb.shape == (64, 64, 4)
+    red = (fb[..., 0] > 0.9) & (fb[..., 1] < 0.1) & (fb[..., 2] < 0.1)
+    blue = (fb[..., 2] > 0.9) & (fb[..., 0] < 0.1)
+    # interior sample points: UI y=0.2 is near the top of the frame
+    assert red[int(0.2 * 64), int(0.2 * 64)]       # inside
+    assert blue[int(0.8 * 64), int(0.8 * 64)]      # outside: clear color
+    # triangle area fraction = 0.5 * 0.8 * 0.8 = 0.32 of the frame
+    frac = red.mean()
+    assert 0.28 < frac < 0.36
+    # every pixel is either triangle red or clear blue
+    assert (red | blue).all()
+
+
+def test_ccw_triangle_backface_culled():
+    rend, window = make_renderer()
+    pipe, layout = flat_pipeline(rend)
+    node = triangle_node(rend, pipe, layout,
+                         [(0.1, 0.1), (0.1, 0.9), (0.9, 0.1)])  # CCW in UI space
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    fb = render_frame(rend, [surf], clear=(0.0, 0.0, 1.0, 1.0))
+    assert (fb[..., 2] > 0.9).all(), "back-facing triangle must be culled"
+
+
+def test_depth_order_and_ties():
+    """Nearer z wins regardless of submission order; the reference's
+    'less' compare keeps the first-drawn on exact ties
+    (Pipeline.zig:150-154)."""
+    rend, window = make_renderer()
+    pipe, layout = flat_pipeline(rend)
+
+    def tri_at(z, color):
+        layoutless = [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)]
+        vb = VertexBuffer.new(rend, 0, 1, layout)
+        vb.write_vertices(np.array(
+            [[x, y, *color] for x, y in layoutless], np.float32))
+        def vfn(ctx, z=z):
+            p = ctx.attr("pos")
+            clip = ctx.world @ jnp.array([p[0], p[1], z, 1.0], jnp.float32)
+            c = ctx.attr("color")
+            return clip, jnp.array([c[0], c[1], c[2], 1.0], jnp.float32)
+        pz = Pipeline.create(rend, vertex_fn=vfn,
+                             bindings=[BindingLayout(0, BUILTIN_TRANSFORM)],
+                             vertex_layout=layout)
+        node = Instance.create_node(rend, pipeline=pz,
+                                    bounding_box_p0=(0, 0, 0),
+                                    bounding_box_p1=(1, 1, 2))
+        node.get_backing().set_vertex_buffer(vb)
+        return node
+
+    root = SceneNode.create(rend)
+    far = tri_at(1.5, (1.0, 0.0, 0.0))
+    near = tri_at(0.5, (0.0, 1.0, 0.0))
+    root.add_child(far)    # drawn first
+    root.add_child(near)   # drawn second, nearer -> wins
+    surf = Surface.create_window_scene(rend, window, root)
+    surf.set_perspective(ortho_unit())
+    fb = render_frame(rend, [surf])
+    assert fb[10, 10, 1] > 0.9 and fb[10, 10, 0] < 0.1
+
+
+def test_scene_transform_propagation():
+    """Parent transform composes onto children (SceneNode.zig:91-132)."""
+    rend, window = make_renderer()
+    pipe, layout = flat_pipeline(rend)
+    tri = triangle_node(rend, pipe, layout,
+                        [(0.0, 0.0), (0.4, 0.0), (0.0, 0.4)])
+    root = SceneNode.create(rend)
+    root.add_child(tri)
+    root.set_xform(math3d.translate([0.5, 0.5, 0.0]))
+    surf = Surface.create_window_scene(rend, window, root)
+    surf.set_perspective(ortho_unit())
+    fb = render_frame(rend, [surf], clear=(0, 0, 0, 1))
+    red = fb[..., 0] > 0.9
+    # triangle moved to the middle: UI (0.55, 0.55) inside, (0.1, 0.1) not
+    assert red[int(0.55 * 64), int(0.55 * 64)]
+    assert not red[int(0.1 * 64), int(0.1 * 64)]
+
+
+def test_multi_surface_clear_then_load():
+    """First surface clears, second composites on top
+    (Draw.zig:23-27)."""
+    rend, window = make_renderer()
+    pipe, layout = flat_pipeline(rend)
+    t1 = triangle_node(rend, pipe, layout,
+                       [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)],
+                       color=(1.0, 0.0, 0.0))
+    t2 = triangle_node(rend, pipe, layout,
+                       [(0.5, 0.5), (1.0, 0.5), (0.5, 1.0)],
+                       color=(0.0, 1.0, 0.0))
+    s1 = Surface.create_window_scene(rend, window, t1)
+    s1.set_perspective(ortho_unit())
+    s2 = Surface.create_window_scene(rend, window, t2)
+    s2.set_perspective(ortho_unit())
+    fb = render_frame(rend, [s1, s2], clear=(0, 0, 1, 1))
+    # t1 visible top-left, t2 overlays bottom-right-of-center, clear elsewhere
+    assert fb[5, 5, 0] > 0.9                       # red from surface 1
+    assert fb[int(0.6 * 64), int(0.6 * 64), 1] > 0.9  # green from surface 2
+    # outside both: UI (0.98, 0.6): x+y > 1 (outside t1), x+y > 1.5 (outside t2)
+    assert fb[int(0.6 * 64), int(0.98 * 64), 2] > 0.9  # clear survives
+
+
+def test_surface_dedupe_per_frame():
+    """A surface draws at most once per frame (working version of
+    Surface.zig:136-138's inert guard)."""
+    rend, window = make_renderer()
+    pipe, layout = flat_pipeline(rend)
+    node = triangle_node(rend, pipe, layout,
+                         [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)])
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    draw = Draw.create(rend)
+    draw.begin()
+    draw.clear((0, 0, 1, 1))
+    draw.draw_surface(surf)
+    draw.draw_surface(surf)  # must be ignored
+    fb = draw.end()
+    assert len(draw._items) == 1
+    rend.update()
+    # next frame it draws again
+    draw.begin()
+    draw.clear((0, 0, 1, 1))
+    draw.draw_surface(surf)
+    assert len(draw._items) == 1
+
+
+def test_culled_when_behind_camera():
+    """Conservative frustum culling drops a node fully outside the
+    frustum (intent of SceneNode.zig:111)."""
+    rend, window = make_renderer()
+    pipe, layout = flat_pipeline(rend)
+    node = triangle_node(rend, pipe, layout,
+                         [(5.0, 5.0), (6.0, 5.0), (5.0, 6.0)])
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())  # view volume is [0,1]^2
+    fb = render_frame(rend, [surf], clear=(0, 0, 1, 1))
+    assert (fb[..., 2] > 0.9).all()
+
+
+def test_frame_program_cache_reuse():
+    rend, window = make_renderer()
+    pipe, layout = flat_pipeline(rend)
+    node = triangle_node(rend, pipe, layout,
+                         [(0.1, 0.1), (0.9, 0.1), (0.1, 0.9)])
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    draw = Draw.create(rend)
+    for _ in range(3):
+        draw.begin()
+        draw.clear((0, 0, 0, 1))
+        draw.draw_surface(surf)
+        draw.end()
+        rend.update()
+    assert len(draw._program_cache) == 1
