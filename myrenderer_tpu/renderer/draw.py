@@ -73,6 +73,7 @@ class _FramePlan:
     width: int
     height: int
     backend: str
+    raster_cfg: object = None
     fn: object = None
 
 
@@ -211,7 +212,8 @@ def _frame_fn(plan: _FramePlan, args):
             if plan.backend == "pallas":
                 from ..ops import raster_pallas
                 depth2, winner = raster_pallas.rasterize_visibility(
-                    tc, H, W, depth=depth)
+                    tc, H, W, depth=depth, tri_clip=tri_clip,
+                    cfg=plan.raster_cfg)
             else:
                 depth2, winner = raster_ref.rasterize_visibility(
                     tc, H, W, depth=depth)
@@ -301,11 +303,18 @@ class Draw:
                 raise ValueError("surface targets a different window")
             s.rebuild()
             surfaces.append(_build_batches(s, rend))
+        raster_cfg = None
+        if backend == "pallas":
+            from ..ops import raster_pallas
+            raster_cfg = getattr(rend, "raster_cfg", None) or \
+                raster_pallas.RasterConfig(
+                    interpret=jax.default_backend() == "cpu")
         plan = _FramePlan(
             n_nodes=len(rend.scene_nodes), parents=parents, levels=levels,
             surfaces=surfaces,
             clear_flags=tuple(c is not None for _, c in self._items),
-            width=window.width, height=window.height, backend=backend)
+            width=window.width, height=window.height, backend=backend,
+            raster_cfg=raster_cfg)
         plan.fn = jax.jit(functools.partial(_frame_fn, plan))
         self._program_cache[key] = plan
         return plan

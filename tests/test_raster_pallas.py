@@ -1,0 +1,127 @@
+"""Pallas rasterizer vs oracle: bit-exact parity (interpret mode on CPU).
+
+The two backends share raster_common's decision math, so every
+*decision* — coverage and depth ordering, i.e. the per-pixel winning
+triangle — must be bit-identical for scenes without bin overflow
+(BASELINE.md "bit-stable depth ordering"). Raw depth *values* may differ
+by 1 ulp between the two compiled programs (FMA contraction is a
+backend codegen choice), so depth buffers are compared to 2 ulp.
+"""
+
+
+def assert_depth_close(d_ref, d_pal):
+    a, b = np.asarray(d_ref), np.asarray(d_pal)
+    ulps = np.abs(a.view(np.int32) - b.view(np.int32))
+    assert ulps.max() <= 2, f"depth differs by {ulps.max()} ulps"
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myrenderer_tpu.ops import raster_common as rc
+from myrenderer_tpu.ops import raster_pallas as rp
+from myrenderer_tpu.ops import raster_ref as rr
+
+CFG = rp.RasterConfig(tile_h=8, tile_w=128, bin_capacity=256,
+                      max_tiles_per_tri=8, big_capacity=256,
+                      interpret=True)
+
+
+def random_triangles(n, seed, depth_range=(0.1, 0.9), w_range=(0.8, 5.0)):
+    """Random CW screen-space triangles lifted to clip space."""
+    rng = np.random.default_rng(seed)
+    ndc = rng.uniform(-1.2, 1.2, (n, 3, 2)).astype(np.float32)
+    z = rng.uniform(*depth_range, (n, 3)).astype(np.float32)
+    w = rng.uniform(*w_range, (n, 3)).astype(np.float32)
+    # ensure CW winding in y-down screen space (positive pixel-space area)
+    d1 = ndc[:, 1] - ndc[:, 0]
+    d2 = ndc[:, 2] - ndc[:, 0]
+    # y-down: flip sign of y when computing screen-space cross
+    cross = d1[:, 0] * (-d2[:, 1]) - (-d1[:, 1]) * d2[:, 0]
+    flip = cross < 0
+    ndc[flip] = ndc[flip][:, ::-1]
+    clip = np.concatenate([
+        ndc * w[..., None], (z * w)[..., None], w[..., None]], axis=-1)
+    vary = rng.uniform(0, 1, (n, 3, 4)).astype(np.float32)
+    return jnp.asarray(clip), jnp.asarray(vary)
+
+
+@pytest.mark.parametrize("n,seed", [(1, 0), (7, 1), (40, 2), (200, 3)])
+def test_visibility_parity(n, seed):
+    H, W = 48, 160
+    clip, vary = random_triangles(n, seed)
+    valid = jnp.ones(n, bool)
+    tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+
+    d_ref, w_ref = rr.rasterize_visibility(tc, H, W)
+    d_pal, w_pal, ovf = rp.rasterize_visibility(
+        tc, H, W, tri_clip=clip, cfg=CFG, return_overflow=True)
+    assert not bool(ovf), "test scene must not overflow bins"
+    np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w_pal))
+    assert_depth_close(d_ref, d_pal)
+
+
+def test_parity_with_carried_depth():
+    """Second batch rasterized against the first batch's depth."""
+    H, W = 40, 130   # non-multiples of tile size: exercises padding
+    clip1, vary1 = random_triangles(20, 10)
+    clip2, vary2 = random_triangles(20, 11)
+    v = jnp.ones(20, bool)
+    tc1 = rc.triangle_setup(clip1, vary1, v, W, H, "back")
+    tc2 = rc.triangle_setup(clip2, vary2, v, W, H, "back")
+
+    d1r, _ = rr.rasterize_visibility(tc1, H, W)
+    d2r, w2r = rr.rasterize_visibility(tc2, H, W, depth=d1r)
+
+    d1p, _ = rp.rasterize_visibility(tc1, H, W, tri_clip=clip1, cfg=CFG)
+    d2p, w2p = rp.rasterize_visibility(tc2, H, W, depth=d1p,
+                                       tri_clip=clip2, cfg=CFG)
+    np.testing.assert_array_equal(np.asarray(w2r), np.asarray(w2p))
+    assert_depth_close(d2r, d2p)
+
+
+def test_big_triangle_path():
+    """A full-frame triangle exceeds max_tiles_per_tri and must flow
+    through the big list, still matching the oracle."""
+    H, W = 32, 256
+    big = jnp.asarray(np.array([[[-3.0, 3.0, 0.25, 1.0],
+                                 [3.0, 3.0, 0.25, 1.0],
+                                 [-3.0, -3.0, 0.25, 1.0]]], np.float32))
+    small, svary = random_triangles(10, 5, depth_range=(0.05, 0.2))
+    clip = jnp.concatenate([big, small])
+    vary = jnp.concatenate([jnp.ones((1, 3, 4), jnp.float32), svary])
+    valid = jnp.ones(clip.shape[0], bool)
+    tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+
+    d_ref, w_ref = rr.rasterize_visibility(tc, H, W)
+    d_pal, w_pal, ovf = rp.rasterize_visibility(
+        tc, H, W, tri_clip=clip, cfg=CFG, return_overflow=True)
+    assert not bool(ovf)
+    # big triangle covers everything at z=0.25; smaller-z tris in front.
+    # no exact depth ties across big/small -> identical output required.
+    np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w_pal))
+    assert_depth_close(d_ref, d_pal)
+
+
+def test_overflow_reported():
+    H, W = 16, 128
+    cfg = rp.RasterConfig(tile_h=8, tile_w=128, bin_capacity=4,
+                          bin_rounds=1, max_tiles_per_tri=4,
+                          big_capacity=16, interpret=True)
+    clip, vary = random_triangles(64, 7)
+    valid = jnp.ones(64, bool)
+    tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+    _, _, ovf = rp.rasterize_visibility(tc, H, W, tri_clip=clip, cfg=cfg,
+                                        return_overflow=True)
+    assert bool(ovf)
+
+
+def test_demo_scene_backend_parity():
+    """Full App demo frame: pallas(interpret) == oracle, pixel-exact."""
+    from myrenderer_tpu.app.demo import DemoApp
+    fb_o = np.asarray(DemoApp(width=128, height=128,
+                              backend="oracle").run(2))
+    fb_p = np.asarray(DemoApp(width=128, height=128,
+                              backend="pallas").run(2))
+    np.testing.assert_array_equal(fb_o, fb_p)
