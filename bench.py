@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark: the full App demo scene at 1080p.
+
+Prints ONE JSON line:
+  {"metric": "demo_1080p_fps", "value": N, "unit": "frames/sec",
+   "vs_baseline": M}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is
+measured against this repo's own CPU oracle rasterizer on the same
+scene/resolution — the denominator BASELINE.md's measurement plan
+defines. The oracle baseline is measured once and cached in
+.bench_baseline.json (delete to re-measure).
+
+Usage:
+  python bench.py            # full: pallas on the available accelerator
+  python bench.py --smoke    # quick correctness-and-timing smoke (256px)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jax_cache")
+
+import jax  # noqa: E402
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from myrenderer_tpu.app.demo import DemoApp  # noqa: E402
+
+BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+
+# Demo workload at any resolution (BASELINE.md): terrain 100x100 quads
+# x 2 tris + heptagon (5) + square (2)
+DEMO_TRIANGLES = 100 * 100 * 2 + 5 + 2
+
+
+def measure(app: DemoApp, frames: int) -> float:
+    """Steady-state seconds/frame (jit warm, block-fenced)."""
+    app.tick()
+    jax.block_until_ready(app.window.framebuffer)
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        app.tick()
+    jax.block_until_ready(app.window.framebuffer)
+    return (time.perf_counter() - t0) / frames
+
+
+def cpu_oracle_baseline(width: int, height: int) -> float:
+    """Frames/sec of the slow CPU oracle on the same scene (cached)."""
+    key = f"oracle_cpu_{width}x{height}_fps"
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+    if key in cache:
+        return cache[key]
+    # Run the oracle on CPU in a subprocess (this process owns the TPU).
+    import subprocess
+    code = f"""
+import sys, time, json, os
+sys.path.insert(0, {REPO!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from myrenderer_tpu.app.demo import DemoApp
+app = DemoApp(width={width}, height={height}, backend="oracle")
+app.tick()
+jax.block_until_ready(app.window.framebuffer)
+t0 = time.perf_counter()
+N = 3
+for _ in range(N):
+    app.tick()
+jax.block_until_ready(app.window.framebuffer)
+print(json.dumps(N / (time.perf_counter() - t0)))
+"""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=3600)
+    fps = float(out.stdout.strip().splitlines()[-1])
+    cache[key] = fps
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f)
+    return fps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--size", default=None, help="override WxH")
+    args = ap.parse_args()
+
+    if args.smoke:
+        w, h, frames = 256, 256, 10
+    else:
+        w, h, frames = 1920, 1080, args.frames
+    if args.size:
+        w, h = (int(v) for v in args.size.split("x"))
+
+    backend = "pallas" if jax.default_backend() != "cpu" else "oracle"
+    app = DemoApp(width=w, height=h, backend=backend)
+    spf = measure(app, frames)
+    fps = 1.0 / spf
+    mtris = DEMO_TRIANGLES * fps / 1e6
+
+    try:
+        base_fps = cpu_oracle_baseline(w, h)
+        vs_baseline = fps / base_fps
+    except Exception as exc:  # baseline measurement is best-effort
+        print(f"baseline measurement failed: {exc}", file=sys.stderr)
+        base_fps, vs_baseline = None, None
+
+    print(f"# {w}x{h} {backend} on {jax.default_backend()}: "
+          f"{spf * 1000:.2f} ms/frame, {mtris:.1f} Mtri/s submitted, "
+          f"cpu-oracle baseline: "
+          f"{base_fps if base_fps else 'n/a'} fps",
+          file=sys.stderr)
+
+    metric = "demo_1080p_fps" if (w, h) == (1920, 1080) else \
+        f"demo_{w}x{h}_fps"
+    print(json.dumps({
+        "metric": metric,
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,81 @@ def _make_vertex_fn(size: int):
     return vertex_fn
 
 
+def _make_vertex_batch_fn(size: int):
+    """Dense whole-stream formulation of the terrain vertex shader (the
+    performance path; numerically equivalent to ``_make_vertex_fn`` up
+    to FMA/association rounding). Assumes full-range draws (the terrain
+    always draws vertices [0, size*size*6), ``Terrain.zig:126``).
+
+    The terrain is a regular grid, so per-vertex heightmap gathers
+    become four *shifted views* of the flat height array — zero gathers,
+    pure slices and broadcast arithmetic, then one [V,4]x[4,4] matmul.
+    The flat-index clamp (robust-buffer-access semantics of the
+    reference's out-of-bounds ``quad + size + 1`` lookups,
+    ``Terrain.zig:38-45``) is reproduced by extending the flat array
+    with copies of its last element.
+    """
+    s2 = size * size
+    fsize = jnp.float32(size)
+
+    def vertex_batch_fn(ctx):
+        iids = ctx.iids
+        n_inst = ctx.worlds.shape[0]
+        V = s2 * 6
+
+        # per-quad corner tables (static, [6])
+        corner_x = jnp.asarray(_QUAD_VALS[:, 0])[None, :]    # [1, 6]
+        corner_z = jnp.asarray(_QUAD_VALS[:, 1])[None, :]
+        row_off = jnp.asarray(_LOOKUP_ROW)
+        col_off = jnp.asarray(_LOOKUP_COL)
+
+        quad = jnp.arange(s2, dtype=jnp.int32)
+        qx = (quad // size).astype(jnp.float32)[:, None]     # [s2, 1]
+        qz = (quad % size).astype(jnp.float32)[:, None]
+        x = 0.2 * (corner_x + qx) - 0.1 * fsize              # [s2, 6]
+        z = 0.2 * (corner_z + qz) - 0.1 * fsize
+
+        clips, varys = [], []
+        for i in range(n_inst):
+            if n_inst == 1:
+                hm = ctx.binding(1)[0]
+                uniform = ctx.binding(0)[0]
+                world = ctx.worlds[0]
+            else:
+                hm = ctx.binding(1)[i]
+                uniform = ctx.binding(0)[i]
+                world = ctx.worlds[i]
+            # flat-clamped shifted views: index q + d reads
+            # hm_ext[q + d] where hm_ext pads with the last element
+            hm_ext = jnp.concatenate(
+                [hm, jnp.broadcast_to(hm[-1:], (size + 1,))])
+            c_q = hm_ext[0:s2]          # offset 0
+            c_qs = hm_ext[size:s2 + size]      # offset +size
+            c_qs1 = hm_ext[size + 1:s2 + size + 1]  # offset +size+1
+            c_q1 = hm_ext[1:s2 + 1]     # offset +1
+            # per _LOOKUP tables: [q+size, q, q+size+1, q+size+1, q, q+1]
+            h = jnp.stack([c_qs, c_q, c_qs1, c_qs1, c_q, c_q1],
+                          axis=1)                             # [s2, 6]
+            y = 5.0 * h
+            ones = jnp.ones_like(y)
+            pos = jnp.stack([jnp.broadcast_to(x, (s2, 6)),
+                             y,
+                             jnp.broadcast_to(z, (s2, 6)),
+                             ones], axis=-1).reshape(V, 4)    # [V, 4]
+            data_xform = uniform[:16].reshape(4, 4)
+            m = world @ data_xform                            # [4, 4]
+            clip = pos @ m.T                                  # [V, 4]
+            yy = pos[:, 1]
+            vary = jnp.stack([yy, yy, yy, jnp.ones_like(yy)], axis=-1)
+            clips.append(clip)
+            varys.append(vary)
+        clip = jnp.concatenate(clips) if n_inst > 1 else clips[0]
+        vary = jnp.concatenate(varys) if n_inst > 1 else varys[0]
+        return clip, vary
+
+    return vertex_batch_fn
+
+
 class Terrain:
     """Terrain content module (``Terrain/Terrain.zig``). One pipeline per
     heightmap size (the vertex function closes over ``size``, which also
@@ -98,6 +173,7 @@ class Terrain:
             pipe = Pipeline.create(
                 self.renderer,
                 vertex_fn=_make_vertex_fn(size),
+                vertex_batch_fn=_make_vertex_batch_fn(size),
                 bindings=[BindingLayout(0, MANAGED_UNIFORM),
                           BindingLayout(1, MANAGED_STORAGE),
                           BindingLayout(2, BUILTIN_TRANSFORM)],

@@ -74,10 +74,14 @@ class TriangulationError(ValueError):
 
 
 class Triangulation:
-    """Reusable triangulator (holds scratch across ``create_polygon`` calls)."""
+    """Reusable triangulator (holds scratch across ``create_polygon``
+    calls). When the native (C++) core is built (``make -C native``) and
+    ``use_native`` is not False, dispatch goes there — identical output,
+    same algorithm, compiled (see ``native/triangulation.cpp``)."""
 
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed: int = 0, use_native: Optional[bool] = None):
         self.seed = seed
+        self.use_native = use_native
         self.nodes: List[_Node] = []
         self.points: Sequence[Point] = ()
         self.root = 0
@@ -285,11 +289,17 @@ class Triangulation:
         """Triangulate ``points`` (CW, implicitly closed, non-self-
         intersecting) and emit each triangle as three CW-ordered vertex
         callbacks (contract of ``Triangulation.zig:442-472``)."""
+        import numpy as _np
+
         n = len(points)
         if n < 3:
             raise TriangulationError("polygon needs at least 3 vertices")
         self.nodes = []
-        self.points = [(float(p[0]), float(p[1])) for p in points]
+        # f32 coordinates, like the reference's @Vector(2, f32) points
+        # (Triangulation.zig:16) — also keeps the native core's view of
+        # the input identical to this one's.
+        pts32 = _np.asarray(points, _np.float32)
+        self.points = [(float(x), float(y)) for x, y in pts32]
 
         # Winding check (cheap, catches the most common contract
         # violation up front): CW in y-down screen space == positive
@@ -303,6 +313,21 @@ class Triangulation:
             raise TriangulationError(
                 "polygon must be wound clockwise (y-down screen space) "
                 "and have nonzero area; got shoelace sum %g" % area2)
+
+        # Native fast path: same algorithm, same edge order, compiled.
+        use_native = self.use_native
+        if use_native is None or use_native:
+            from . import native as _native
+            if _native.available():
+                order = list(unirand_seed(n, self.seed))
+                verts = _native.triangulate_native(pts32, order)
+                for vx, vy in verts:
+                    emit((float(vx), float(vy)))
+                return
+            if use_native:
+                raise TriangulationError(
+                    "native triangulator requested but not built "
+                    "(run: make -C native)")
 
         # Phase 1: trapezoidation, edges inserted in seeded random order.
         # Contract violations (self-intersection, wrong winding, repeated

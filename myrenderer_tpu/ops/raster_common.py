@@ -88,14 +88,14 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
     u = (0.5 * x + 0.5 * w) * f32(width)
     v = (0.5 * w - 0.5 * y) * f32(height)
 
-    def cyc(arr, k):
-        return arr[:, k]
-
-    # edge k spans vertices (k+1, k+2) mod 3
-    i = jnp.array([1, 2, 0])
-    j = jnp.array([2, 0, 1])
-    ui, vi, wi = u[:, i], v[:, i], w[:, i]
-    uj, vj, wj = u[:, j], v[:, j], w[:, j]
+    # edge k spans vertices (k+1, k+2) mod 3; static slices only (fancy
+    # indexing lowers to gathers, which are slow on TPU)
+    ui = jnp.stack([u[:, 1], u[:, 2], u[:, 0]], axis=1)
+    vi = jnp.stack([v[:, 1], v[:, 2], v[:, 0]], axis=1)
+    wi = jnp.stack([w[:, 1], w[:, 2], w[:, 0]], axis=1)
+    uj = jnp.stack([u[:, 2], u[:, 0], u[:, 1]], axis=1)
+    vj = jnp.stack([v[:, 2], v[:, 0], v[:, 1]], axis=1)
+    wj = jnp.stack([w[:, 2], w[:, 0], w[:, 1]], axis=1)
 
     a = vi * wj - vj * wi                       # [T, 3]
     b = uj * wi - ui * wj
@@ -129,9 +129,9 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
     en_abc = jnp.stack([a.sum(1), b.sum(1), c.sum(1)], axis=1)
     col = tri_vary.astype(f32)                   # [T, 3, C]
     col_abc = jnp.stack([
-        jnp.einsum("tk,tkc->tc", a, col),
-        jnp.einsum("tk,tkc->tc", b, col),
-        jnp.einsum("tk,tkc->tc", c, col),
+        (a[:, :, None] * col).sum(1),
+        (b[:, :, None] * col).sum(1),
+        (c[:, :, None] * col).sum(1),
     ], axis=1)                                   # [T, 3, C]
 
     return TriCoeffs(edge_a=a, edge_b=b, edge_c=c, z_abc=z_abc,
@@ -150,6 +150,28 @@ def pack_coeffs(tc: TriCoeffs) -> jax.Array:
         tc.z_abc, tc.w_abc,
         tc.valid.astype(jnp.float32)[:, None],
     ], axis=1)
+
+
+# full-pack layout: [0:16] = pack_coeffs lanes, [16] = triangle id,
+# [17:20] = varying denominator plane (sum e), [20:32] = varying
+# numerator planes, (a, b, c) per channel, 4 channels.
+FULL_LANES = 32
+
+
+def pack_coeffs_full(tc: TriCoeffs) -> jax.Array:
+    """f32[T, FULL_LANES]: visibility lanes + triangle id + varying
+    interpolation planes, for single-pass rasterize+shade kernels.
+    Varyings must be 4 channels (the FragPass color contract,
+    ``Pipeline.zig:12-32``)."""
+    T = tc.en_abc.shape[0]
+    if tc.col_abc.shape[-1] != 4:
+        raise ValueError("full pack requires exactly 4 varying channels")
+    ids = jnp.arange(T, dtype=jnp.float32)[:, None]
+    col = tc.col_abc            # [T, 3, 4]
+    col_flat = jnp.concatenate([col[:, :, ch] for ch in range(4)],
+                               axis=1)                  # [T, 12]
+    return jnp.concatenate([pack_coeffs(tc), ids, tc.en_abc, col_flat],
+                           axis=1)
 
 
 def edge_is_top_left(a: jax.Array, b: jax.Array) -> jax.Array:

@@ -53,8 +53,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import raster_common as rc
 
-# 16 coefficient lanes + triangle id
-LANES = rc.COEFF_LANES + 1
+# full pack: 16 visibility lanes + id + varying planes
+LANES = rc.FULL_LANES
 
 
 @dataclass(frozen=True)
@@ -63,7 +63,7 @@ class RasterConfig:
     tile_w: int = 128
     bin_capacity: int = 512       # triangles per tile per round
     bin_rounds: Optional[int] = None  # None = auto from scene density
-    max_tiles_per_tri: int = 16   # bbox tiles before a tri goes "big"
+    max_tiles_per_tri: int = 4    # bbox tiles before a tri goes "big"
     big_capacity: int = 64        # full-frame triangles per batch
     chunk: int = 64               # triangles per (G, THW) inner step
     interpret: bool = False       # Pallas interpreter (CPU testing)
@@ -137,7 +137,7 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
             "raise tile size or split the batch")
     tri_idx = jnp.arange(T, dtype=jnp.int32)
     keys = (tile * (T + 1) + tri_idx[None, :].T).reshape(-1)
-    keys = jnp.sort(keys)
+    keys = jnp.sort(keys, stable=False)   # keys are unique
 
     tile_range = jnp.arange(NT, dtype=jnp.int32)
     starts = jnp.searchsorted(keys, tile_range * (T + 1)).astype(jnp.int32)
@@ -154,10 +154,8 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     r = jnp.arange(rounds, dtype=jnp.int32)[None, :]
     counts = jnp.clip(total[:, None] - r * C, 0, C)    # [NT, R]
 
-    # packed coefficient rows + id lane, gathered per bin slot
-    packed = rc.pack_coeffs(tc)                        # [T, 16]
-    packed = jnp.concatenate(
-        [packed, tri_idx.astype(jnp.float32)[:, None]], axis=1)  # [T, 17]
+    # packed coefficient+varying rows, gathered per bin slot
+    packed = rc.pack_coeffs_full(tc)                   # [T, 32]
     binned = packed[bin_ids.reshape(-1)].reshape(
         NT * rounds, C, LANES)
 
@@ -180,19 +178,25 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
 # ---------------------------------------------------------------------------
 
 def _raster_kernel(counts_ref, big_count_ref, binned_ref, big_ref,
-                   depth_in_ref, depth_out_ref, winner_ref,
+                   depth_in_ref, depth_out_ref, winner_ref, num_ref,
+                   den_ref,
                    *, tile_h: int, tile_w: int, base_index: int,
                    rounds: int, chunk: int):
     """One program = one (tile_h, tile_w) framebuffer tile x one round.
 
     TPU-shaped inner loop: triangles are processed ``chunk`` at a time
     as (G, THW) arrays — per-triangle coefficients are (G, 1) columns,
-    per-pixel coordinates a (1, THW) row, so every edge/depth plane is
-    an outer-product FMA (single-axis broadcasts only, VPU-friendly).
-    The depth resolve is a min-reduction over the chunk axis with
-    lowest-triangle-id tie-break, which equals the reference's
+    per-pixel coordinates a (1, THW) row, so every edge/depth/varying
+    plane is an outer-product FMA (single-axis broadcasts only,
+    VPU-friendly). The depth resolve is a min-reduction over the chunk
+    axis with lowest-triangle-id tie-break, which equals the reference's
     sequential 'less' depth test because bins hold ascending triangle
     ids: equal depths resolve to the earliest submission.
+
+    Shading is fused: the winning triangle's varying numerators and
+    denominator are selected in the same pass (visibility buffer +
+    interpolation without any per-pixel gather), leaving only the
+    division and the fragment function to dense XLA ops outside.
     """
     THW = tile_h * tile_w
     ty = pl.program_id(0)
@@ -210,15 +214,19 @@ def _raster_kernel(counts_ref, big_count_ref, binned_ref, big_ref,
     def _():
         depth_out_ref[...] = depth_in_ref[...]
         winner_ref[...] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+        num_ref[...] = jnp.zeros((4, tile_h, tile_w), jnp.float32)
+        den_ref[...] = jnp.ones((tile_h, tile_w), jnp.float32)
 
-    depth = depth_out_ref[...].reshape(1, THW)
-    winner = winner_ref[...].reshape(1, THW)
+    carry0 = (depth_out_ref[...].reshape(1, THW),
+              winner_ref[...].reshape(1, THW),
+              tuple(num_ref[ch].reshape(1, THW) for ch in range(4)),
+              den_ref[...].reshape(1, THW))
 
     n = counts_ref[(ty * ntx + tx) * rounds + r]
 
     def make_chunk_body(ref, bound):
         def chunk_body(ci, carry):
-            depth, winner = carry
+            depth, winner, nums, den = carry
             start = ci * chunk
             sub = ref[0, pl.ds(start, chunk), :]       # (G, LANES)
             scalars = tuple(sub[:, k:k + 1]
@@ -228,50 +236,72 @@ def _raster_kernel(counts_ref, big_count_ref, binned_ref, big_ref,
                     + start)
             cov = cov & (slot < bound)                 # mask bin tail
             zm = jnp.where(cov, z, jnp.float32(2.0))
-            ids = jnp.broadcast_to(sub[:, rc.COEFF_LANES:
-                                       rc.COEFF_LANES + 1],
-                                   (chunk, THW))
+            ids = jnp.broadcast_to(sub[:, 16:17], (chunk, THW))
             zmin = jnp.min(zm, axis=0, keepdims=True)  # (1, THW)
             idmin = jnp.min(jnp.where(zm == zmin, ids,
                                       jnp.float32(3e38)),
                             axis=0, keepdims=True)
             win = zmin < depth
+
+            # varying planes of the winning row (exactly one row matches
+            # zmin & idmin & cov at each winning pixel)
+            is_win_row = cov & (zm == zmin) & (ids == idmin)
+            wf = is_win_row.astype(jnp.float32)
+
+            def plane(ka, kb, kc):
+                val = (sub[:, ka:ka + 1] * px + sub[:, kb:kb + 1] * py
+                       + sub[:, kc:kc + 1])
+                return jnp.sum(wf * val, axis=0, keepdims=True)
+
+            den_c = plane(17, 18, 19)
+            nums_c = tuple(plane(20 + 3 * ch, 21 + 3 * ch, 22 + 3 * ch)
+                           for ch in range(4))
+
             idw = idmin.astype(jnp.int32) + jnp.int32(base_index)
             return (jnp.where(win, zmin, depth),
-                    jnp.where(win, idw, winner))
+                    jnp.where(win, idw, winner),
+                    tuple(jnp.where(win, nc, old)
+                          for nc, old in zip(nums_c, nums)),
+                    jnp.where(win, den_c, den))
         return chunk_body
 
     nchunks = lax.div(n + chunk - 1, chunk)
-    depth, winner = lax.fori_loop(0, nchunks,
-                                  make_chunk_body(binned_ref, n),
-                                  (depth, winner))
+    carry = lax.fori_loop(0, nchunks, make_chunk_body(binned_ref, n),
+                          carry0)
 
     # big triangles run once, after all binned rounds (ties-only
     # deviation from global submission order; documented)
     nbig = big_count_ref[0]
 
-    def run_big(carry):
+    def run_big(cr):
         nb = lax.div(nbig + chunk - 1, chunk)
-        return lax.fori_loop(0, nb, make_chunk_body(big_ref, nbig),
-                             carry)
+        return lax.fori_loop(0, nb, make_chunk_body(big_ref, nbig), cr)
 
-    depth, winner = lax.cond(r == rounds - 1, run_big, lambda c: c,
-                             (depth, winner))
+    depth, winner, nums, den = lax.cond(r == rounds - 1, run_big,
+                                        lambda cr: cr, carry)
 
     depth_out_ref[...] = depth.reshape(tile_h, tile_w)
     winner_ref[...] = winner.reshape(tile_h, tile_w)
+    for ch in range(4):
+        num_ref[ch] = nums[ch].reshape(tile_h, tile_w)
+    den_ref[...] = den.reshape(tile_h, tile_w)
 
 
-def rasterize_visibility(tc: rc.TriCoeffs, height: int, width: int,
-                         depth: jax.Array | None = None,
-                         base_index: int = 0,
-                         tri_clip: jax.Array | None = None,
-                         cfg: RasterConfig | None = None,
-                         return_overflow: bool = False):
-    """Pallas visibility pass. Decision-identical to
-    ``raster_ref.rasterize_visibility`` (same winners; depth values may
-    differ by 1 ulp of FMA contraction) for non-overflowing scenes
-    without exact cross-category depth ties.
+def rasterize(tc: rc.TriCoeffs, height: int, width: int,
+              depth: jax.Array | None = None,
+              base_index: int = 0,
+              tri_clip: jax.Array | None = None,
+              cfg: RasterConfig | None = None):
+    """Pallas fused rasterize pass.
+
+    Returns (depth f32[H,W], winner i32[H,W], vary_num f32[4,H,W],
+    vary_den f32[H,W], overflowed bool[]). The perspective-correct
+    varyings of the winning triangle at pixel p are
+    ``vary_num[:, p] / vary_den[p]`` (denominator is 1 where uncovered).
+
+    Decision-identical to ``raster_ref.rasterize_visibility`` (same
+    winners; depth/color values may differ by ~1 ulp of FMA contraction)
+    for non-overflowing scenes without exact cross-category depth ties.
 
     ``tri_clip`` (clip positions) is required for binning.
     """
@@ -302,7 +332,10 @@ def rasterize_visibility(tc: rc.TriCoeffs, height: int, width: int,
     kernel = functools.partial(_raster_kernel, tile_h=cfg.tile_h,
                                tile_w=cfg.tile_w, base_index=base_index,
                                rounds=rounds, chunk=chunk)
-    depth_out, winner = pl.pallas_call(
+    tile_spec = pl.BlockSpec((cfg.tile_h, cfg.tile_w),
+                             lambda ty, tx, r: (ty, tx),
+                             memory_space=pltpu.VMEM)
+    depth_out, winner, num, den = pl.pallas_call(
         kernel,
         grid=(nty, ntx, rounds),
         in_specs=[
@@ -316,27 +349,50 @@ def rasterize_visibility(tc: rc.TriCoeffs, height: int, width: int,
             pl.BlockSpec((1, cfg.big_capacity, LANES),
                          lambda ty, tx, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),           # big coeffs
-            pl.BlockSpec((cfg.tile_h, cfg.tile_w),
-                         lambda ty, tx, r: (ty, tx),
-                         memory_space=pltpu.VMEM),           # depth in
+            tile_spec,                                       # depth in
         ],
         out_specs=[
-            pl.BlockSpec((cfg.tile_h, cfg.tile_w),
-                         lambda ty, tx, r: (ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.tile_h, cfg.tile_w),
-                         lambda ty, tx, r: (ty, tx),
-                         memory_space=pltpu.VMEM),
+            tile_spec,                                       # depth out
+            tile_spec,                                       # winner
+            pl.BlockSpec((4, cfg.tile_h, cfg.tile_w),
+                         lambda ty, tx, r: (0, ty, tx),
+                         memory_space=pltpu.VMEM),           # vary num
+            tile_spec,                                       # vary den
         ],
         out_shape=[
             jax.ShapeDtypeStruct((ph, pw), jnp.float32),
             jax.ShapeDtypeStruct((ph, pw), jnp.int32),
+            jax.ShapeDtypeStruct((4, ph, pw), jnp.float32),
+            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
         ],
         interpret=cfg.interpret,
     )(counts, big_count, binned, big_rows, depth_p)
 
-    depth_out = depth_out[:height, :width]
-    winner = winner[:height, :width]
+    return (depth_out[:height, :width], winner[:height, :width],
+            num[:, :height, :width], den[:height, :width], overflowed)
+
+
+def rasterize_visibility(tc: rc.TriCoeffs, height: int, width: int,
+                         depth: jax.Array | None = None,
+                         base_index: int = 0,
+                         tri_clip: jax.Array | None = None,
+                         cfg: RasterConfig | None = None,
+                         return_overflow: bool = False):
+    """Visibility-only view of :func:`rasterize` (oracle-compatible
+    signature, used by parity tests)."""
+    d, w, _num, _den, ovf = rasterize(tc, height, width, depth=depth,
+                                      base_index=base_index,
+                                      tri_clip=tri_clip, cfg=cfg)
     if return_overflow:
-        return depth_out, winner, overflowed
-    return depth_out, winner
+        return d, w, ovf
+    return d, w
+
+
+def shade_from_planes(winner, num, den, fb, fragment_fn):
+    """Dense shading from the kernel's interpolated planes: apply the
+    fragment function and write covered pixels (replace — no blending,
+    ``Pipeline.zig:137-140``)."""
+    covered = winner >= 0
+    varp = jnp.moveaxis(num, 0, -1) / den[..., None]
+    rgba = fragment_fn(varp)
+    return jnp.where(covered[..., None], rgba, fb)

@@ -100,15 +100,46 @@ class VertexCtx:
         return self._bindings[location]
 
 
+class BatchVertexCtx:
+    """Whole-stream inputs for a *batched* vertex function (the analogue
+    of a mesh/compute shader): ``vertex_index`` i32[V], ``attrs`` maps
+    names to f32[V, k], ``worlds`` f32[I, 4, 4], ``iids`` i32[V],
+    ``binding(loc)`` returns the stacked [I, ...] array."""
+
+    def __init__(self, vertex_index, attrs, worlds, iids, bindings):
+        self.vertex_index = vertex_index
+        self.attrs = attrs
+        self.worlds = worlds
+        self.iids = iids
+        self._bindings = bindings
+
+    def attr(self, name):
+        return self.attrs[name]
+
+    def binding(self, location: int):
+        return self._bindings[location]
+
+
 def run_vertex_stage(vertex_fn: Callable, vertex_index: jax.Array,
                      attrs: dict, worlds: jax.Array, iids: jax.Array,
-                     bindings: dict) -> tuple[jax.Array, jax.Array]:
-    """vmap the vertex function over a packed vertex stream.
+                     bindings: dict,
+                     vertex_batch_fn: Callable | None = None
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Run the vertex stage over a packed vertex stream.
 
     vertex_index: i32[V]; attrs: name -> f32[V, k]; worlds: f32[I, 4, 4];
     iids: i32[V]; bindings: loc -> stacked [I, ...] arrays.
     Returns (clip f32[V, 4], varyings f32[V, C]).
+
+    When the pipeline supplies ``vertex_batch_fn`` it receives the whole
+    stream at once (dense, gather-free formulations — e.g. the terrain's
+    regular grid); otherwise ``vertex_fn`` is vmapped per vertex.
     """
+    if vertex_batch_fn is not None:
+        ctx = BatchVertexCtx(vertex_index, attrs, worlds, iids, bindings)
+        clip, vary = vertex_batch_fn(ctx)
+        return (jnp.asarray(clip, jnp.float32),
+                jnp.asarray(vary, jnp.float32))
 
     def one(vi, attr_row, iid):
         ctx = VertexCtx(vi, attr_row, worlds[iid], iid, bindings)

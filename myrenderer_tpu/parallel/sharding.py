@@ -64,9 +64,12 @@ def sharded_render_step(mesh: Mesh, height: int, width: int,
     fb_spec = P("rows", None, None)
     tri_spec = P("tris")
 
+    # check_vma=False: after the 'tris' all-gather every tris-shard
+    # computes identical band pixels, so the output is replicated over
+    # 'tris' in fact, which the static vma analysis cannot prove.
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(tri_spec, tri_spec, tri_spec, fb_spec),
-             out_specs=fb_spec)
+             out_specs=fb_spec, check_vma=False)
     def step(tri_clip, tri_vary, valid, fb_band):
         # gather the full triangle set onto every shard (ICI all-gather
         # along 'tris'; no-op when tris=1)
@@ -79,8 +82,12 @@ def sharded_render_step(mesh: Mesh, height: int, width: int,
         # rasterize this band: pixel grid offset by the band origin
         tc = rc.triangle_setup(tri_clip, tri_vary, valid, width, height)
         px, py = rc.pixel_grids(band, width, y0=y0)
-        depth = jnp.full((band, width), 1.0, jnp.float32)
-        winner = jnp.full((band, width), -1, jnp.int32)
+        # mark the loop carries as device-varying (shard_map's vma check)
+        axes = ("rows", "tris")
+        depth = jax.lax.pcast(jnp.full((band, width), 1.0, jnp.float32),
+                              axes, to="varying")
+        winner = jax.lax.pcast(jnp.full((band, width), -1, jnp.int32),
+                               axes, to="varying")
         packed = rc.pack_coeffs(tc)
 
         def body(t, carry):

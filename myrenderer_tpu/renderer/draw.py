@@ -200,7 +200,8 @@ def _frame_fn(plan: _FramePlan, args):
 
             clip, vary = vs.run_vertex_stage(
                 b.pipeline.vertex_fn, jnp.asarray(b.vertex_index), attrs,
-                clip_mats, jnp.asarray(b.iids), bindings)
+                clip_mats, jnp.asarray(b.iids), bindings,
+                vertex_batch_fn=b.pipeline.vertex_batch_fn)
 
             tri_clip = clip.reshape(b.tri_count, 3, 4)
             tri_vary = vary.reshape(b.tri_count, 3, vary.shape[-1])
@@ -211,15 +212,18 @@ def _frame_fn(plan: _FramePlan, args):
                                    b.pipeline.cull_mode)
             if plan.backend == "pallas":
                 from ..ops import raster_pallas
-                depth2, winner = raster_pallas.rasterize_visibility(
+                depth2, winner, num, den, _ovf = raster_pallas.rasterize(
                     tc, H, W, depth=depth, tri_clip=tri_clip,
                     cfg=plan.raster_cfg)
+                fb = raster_pallas.shade_from_planes(
+                    winner, num, den, fb, b.pipeline.fragment_fn)
             else:
                 depth2, winner = raster_ref.rasterize_visibility(
                     tc, H, W, depth=depth)
+                fb = raster_ref.shade(tc, winner, fb,
+                                      b.pipeline.fragment_fn)
             if b.pipeline.depth_write:
                 depth = depth2
-            fb = raster_ref.shade(tc, winner, fb, b.pipeline.fragment_fn)
     return fb
 
 

@@ -91,9 +91,11 @@ class Pipeline:
                  bindings: Sequence[BindingLayout],
                  vertex_layout: Optional[VertexLayout],
                  cull_mode: str, front_face: str,
-                 depth_write: bool, depth_compare: str):
+                 depth_write: bool, depth_compare: str,
+                 vertex_batch_fn: Optional[Callable] = None):
         self.renderer = renderer
         self.vertex_fn = vertex_fn
+        self.vertex_batch_fn = vertex_batch_fn
         self.fragment_fn = fragment_fn or default_fragment_fn
         self.bindings = tuple(bindings)
         self.vertex_layout = vertex_layout
@@ -117,7 +119,13 @@ class Pipeline:
                vertex_layout: Optional[VertexLayout] = None,
                cull_mode: str = "back", front_face: str = "cw",
                depth_write: bool = True,
-               depth_compare: str = "less") -> "Pipeline":
+               depth_compare: str = "less",
+               vertex_batch_fn: Optional[Callable] = None) -> "Pipeline":
+        """Create a pipeline (``Pipeline.zig:92``). ``vertex_fn`` is the
+        per-vertex program; ``vertex_batch_fn``, when given, is an
+        equivalent whole-stream formulation used by the performance
+        path (dense mesh-shader style; must produce identical output).
+        """
         if front_face != "cw":
             raise NotImplementedError(
                 "only front_face='cw' (the reference's fixed state, "
@@ -126,7 +134,8 @@ class Pipeline:
             raise NotImplementedError("depth_compare must be 'less'")
         return Pipeline(renderer, vertex_fn, fragment_fn, bindings,
                         vertex_layout, cull_mode, front_face,
-                        depth_write, depth_compare)
+                        depth_write, depth_compare,
+                        vertex_batch_fn=vertex_batch_fn)
 
     def get_builtin_location(self, builtin: str = "transform") -> Optional[int]:
         """``Pipeline.zig:62-70``."""

@@ -148,3 +148,35 @@ class TestDemoScene:
         fb, app = frame
         fb5 = app.run(5)  # elapsed_time advances -> different view
         assert not np.array_equal(np.asarray(fb), np.asarray(fb5))
+
+
+def test_terrain_batch_vertex_path_matches_vmap():
+    """The dense (gather-free) terrain vertex formulation must agree
+    with the per-vertex reference formulation."""
+    import jax.numpy as jnp
+    from myrenderer_tpu.content.terrain import (_make_vertex_batch_fn,
+                                                _make_vertex_fn)
+    from myrenderer_tpu.ops import vertex_stage as vs
+
+    size = 16
+    rng = np.random.default_rng(0)
+    hm = rng.random(size * size).astype(np.float32)
+    uniform = np.concatenate([np.eye(4, dtype=np.float32).reshape(-1),
+                              [np.float32(size)]])
+    world = (math3d.perspective(1.2, 1.0, 0.1, 50.0)
+             @ math3d.look_at((3, 4, 2), (0, 0, 0), (0, 1, 0)))
+    V = size * size * 6
+    vidx = jnp.arange(V, dtype=jnp.int32)
+    iids = jnp.zeros(V, jnp.int32)
+    worlds = jnp.asarray(world)[None]
+    bindings = {0: jnp.asarray(uniform)[None], 1: jnp.asarray(hm)[None]}
+
+    clip_v, vary_v = vs.run_vertex_stage(
+        _make_vertex_fn(size), vidx, {}, worlds, iids, bindings)
+    clip_b, vary_b = vs.run_vertex_stage(
+        None, vidx, {}, worlds, iids, bindings,
+        vertex_batch_fn=_make_vertex_batch_fn(size))
+    np.testing.assert_allclose(np.asarray(clip_v), np.asarray(clip_b),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vary_v), np.asarray(vary_b),
+                               rtol=1e-6, atol=1e-6)
