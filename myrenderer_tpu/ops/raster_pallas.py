@@ -63,8 +63,10 @@ class RasterConfig:
     tile_w: int = 128
     bin_capacity: int = 512       # triangles per tile per round
     bin_rounds: Optional[int] = None  # None = auto from scene density
-    max_tiles_per_tri: int = 4    # bbox tiles before a tri goes "big"
+    round_scale: int = 1          # multiplier on auto rounds (adaptive)
+    max_tiles_per_tri: int = 16   # bbox tiles before a tri goes "big"
     big_capacity: int = 64        # full-frame triangles per batch
+    big_scale: int = 1            # multiplier on big_capacity (adaptive)
     chunk: int = 64               # triangles per (G, THW) inner step
     interpret: bool = False       # Pallas interpreter (CPU testing)
 
@@ -77,9 +79,11 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _auto_rounds(T: int, NT: int, cfg: RasterConfig) -> int:
-    """Rounds so that ~8x the mean triangles-per-tile fits; degrades to
-    brute force (all T triangles per tile) when tiles are few/huge."""
-    per_tile = min(T, max(256, (8 * T) // max(NT, 1)))
+    """Rounds so that ~8x the mean triangles-per-tile fits (scaled by
+    ``round_scale``, which Draw bumps when a frame reports overflow);
+    degrades to brute force (all T triangles per tile) when tiles are
+    few or the scale grows."""
+    per_tile = min(T, max(256, (8 * T) // max(NT, 1)) * cfg.round_scale)
     return max(1, _cdiv(per_tile, cfg.bin_capacity))
 
 
@@ -99,6 +103,7 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     NT = nty * ntx
     K = cfg.max_tiles_per_tri
     C = cfg.bin_capacity
+    B = cfg.big_capacity * cfg.big_scale
     cap_total = rounds * C
 
     w = jnp.maximum(tri_clip[..., 3], rc.W_EPS)
@@ -163,13 +168,12 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     big_order = jnp.where(big, tri_idx, T)
     big_sorted = jnp.sort(big_order)
     big_count_full = big.sum(dtype=jnp.int32)
-    overflow_big = big_count_full > cfg.big_capacity
-    big_count = jnp.minimum(big_count_full, cfg.big_capacity)
-    big_ids = jnp.clip(big_sorted[:cfg.big_capacity], 0, max(T - 1, 0)
-                       ).astype(jnp.int32)
+    overflow_big = big_count_full > B
+    big_count = jnp.minimum(big_count_full, B)
+    big_ids = jnp.clip(big_sorted[:B], 0, max(T - 1, 0)).astype(jnp.int32)
     big_rows = packed[big_ids][None]                   # [1, B, 17]
 
-    overflowed = overflow_small | overflow_big
+    overflowed = jnp.stack([overflow_small, overflow_big])
     return binned, counts.reshape(-1), big_rows, big_count[None], overflowed
 
 
@@ -217,9 +221,10 @@ def _raster_kernel(counts_ref, big_count_ref, binned_ref, big_ref,
         num_ref[...] = jnp.zeros((4, tile_h, tile_w), jnp.float32)
         den_ref[...] = jnp.ones((tile_h, tile_w), jnp.float32)
 
+    num_block = num_ref[...]                       # (4, TH, TW)
     carry0 = (depth_out_ref[...].reshape(1, THW),
               winner_ref[...].reshape(1, THW),
-              tuple(num_ref[ch].reshape(1, THW) for ch in range(4)),
+              tuple(num_block[ch].reshape(1, THW) for ch in range(4)),
               den_ref[...].reshape(1, THW))
 
     n = counts_ref[(ty * ntx + tx) * rounds + r]
@@ -282,8 +287,8 @@ def _raster_kernel(counts_ref, big_count_ref, binned_ref, big_ref,
 
     depth_out_ref[...] = depth.reshape(tile_h, tile_w)
     winner_ref[...] = winner.reshape(tile_h, tile_w)
-    for ch in range(4):
-        num_ref[ch] = nums[ch].reshape(tile_h, tile_w)
+    num_ref[...] = jnp.concatenate(
+        [n.reshape(1, tile_h, tile_w) for n in nums], axis=0)
     den_ref[...] = den.reshape(tile_h, tile_w)
 
 
@@ -295,7 +300,8 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
     """Pallas fused rasterize pass.
 
     Returns (depth f32[H,W], winner i32[H,W], vary_num f32[4,H,W],
-    vary_den f32[H,W], overflowed bool[]). The perspective-correct
+    vary_den f32[H,W], overflowed bool[2] = (bins, big list)). The
+    perspective-correct
     varyings of the winning triangle at pixel p are
     ``vary_num[:, p] / vary_den[p]`` (denominator is 1 where uncovered).
 
@@ -324,11 +330,12 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
     depth_p = jnp.pad(depth, ((0, ph - height), (0, pw - width)),
                       constant_values=1.0)
 
-    chunk = min(cfg.chunk, cfg.bin_capacity, cfg.big_capacity)
-    if cfg.bin_capacity % chunk or cfg.big_capacity % chunk:
+    B = cfg.big_capacity * cfg.big_scale
+    chunk = min(cfg.chunk, cfg.bin_capacity, B)
+    if cfg.bin_capacity % chunk or B % chunk:
         raise ValueError(
-            f"bin_capacity ({cfg.bin_capacity}) and big_capacity "
-            f"({cfg.big_capacity}) must be multiples of chunk ({chunk})")
+            f"bin_capacity ({cfg.bin_capacity}) and big capacity "
+            f"({B}) must be multiples of chunk ({chunk})")
     kernel = functools.partial(_raster_kernel, tile_h=cfg.tile_h,
                                tile_w=cfg.tile_w, base_index=base_index,
                                rounds=rounds, chunk=chunk)
@@ -346,7 +353,7 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
                          lambda ty, tx, r, R=rounds, ntx=ntx:
                          ((ty * ntx + tx) * R + r, 0, 0),
                          memory_space=pltpu.VMEM),           # binned coeffs
-            pl.BlockSpec((1, cfg.big_capacity, LANES),
+            pl.BlockSpec((1, B, LANES),
                          lambda ty, tx, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),           # big coeffs
             tile_spec,                                       # depth in
@@ -384,7 +391,7 @@ def rasterize_visibility(tc: rc.TriCoeffs, height: int, width: int,
                                       base_index=base_index,
                                       tri_clip=tri_clip, cfg=cfg)
     if return_overflow:
-        return d, w, ovf
+        return d, w, ovf.any()
     return d, w
 
 

@@ -103,6 +103,8 @@ class Renderer:
 
         # bumped on any structural scene change -> frame program rebuild
         self.scene_version = 0
+        # bumped when any node's AABB changes -> cull-input re-upload
+        self.bounds_version = 0
 
         # 'oracle' (full-frame jnp), 'pallas' (tiled kernel), or 'auto'
         # (pallas on TPU, oracle elsewhere)
@@ -124,6 +126,10 @@ class Renderer:
 
     def bump_scene_version(self) -> None:
         self.scene_version += 1
+        self.bounds_version += 1
+
+    def bump_bounds_version(self) -> None:
+        self.bounds_version += 1
 
     # -- registry helpers ---------------------------------------------------
 

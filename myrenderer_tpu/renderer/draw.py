@@ -162,6 +162,7 @@ def _frame_fn(plan: _FramePlan, args):
     world = vs.compose_world_transforms(args["locals"], plan.levels,
                                         plan.parents)
     H, W = plan.height, plan.width
+    overflow = jnp.zeros((2,), bool)   # (bin rounds, big list)
 
     for s_i, splan in enumerate(plan.surfaces):
         sargs = args["surfaces"][s_i]
@@ -212,9 +213,10 @@ def _frame_fn(plan: _FramePlan, args):
                                    b.pipeline.cull_mode)
             if plan.backend == "pallas":
                 from ..ops import raster_pallas
-                depth2, winner, num, den, _ovf = raster_pallas.rasterize(
+                depth2, winner, num, den, ovf = raster_pallas.rasterize(
                     tc, H, W, depth=depth, tri_clip=tri_clip,
                     cfg=plan.raster_cfg)
+                overflow = overflow | ovf
                 fb = raster_pallas.shade_from_planes(
                     winner, num, den, fb, b.pipeline.fragment_fn)
             else:
@@ -224,7 +226,7 @@ def _frame_fn(plan: _FramePlan, args):
                                       b.pipeline.fragment_fn)
             if b.pipeline.depth_write:
                 depth = depth2
-    return fb
+    return fb, overflow
 
 
 # --------------------------------------------------------------------------
@@ -237,6 +239,13 @@ class Draw:
         self._items: list = []
         self._clear: Optional[np.ndarray] = None
         self._program_cache: dict = {}
+        self._round_scale = 1   # bumped when bins overflow
+        self._big_scale = 1     # bumped when the big list overflows
+        self._frames_since_rebuild = 0
+        self._locals_buf = None
+        self._bounds_cache = None
+        self._bounds_cache_key = None
+        self.last_overflow = None
         self.id = renderer._register(renderer.draws, self)
 
     @staticmethod
@@ -277,7 +286,28 @@ class Draw:
 
         plan = self._get_plan(window)
         args = self._gather_args(plan, window)
-        fb = plan.fn(args)
+        fb, overflow = plan.fn(args)
+        # Adaptive capacity: if a batch overflowed its bins, rebuild with
+        # doubled rounds and re-render. The device->host sync only
+        # happens for the first few frames after a (re)build; steady
+        # state stays fully asynchronous.
+        if (plan.raster_cfg is not None
+                and self._frames_since_rebuild < 3
+                and (self._round_scale < 64 or self._big_scale < 64)):
+            self._frames_since_rebuild += 1
+            ovf = np.asarray(overflow)
+            while ovf.any() and (self._round_scale < 64
+                                 or self._big_scale < 64):
+                if ovf[0]:
+                    self._round_scale *= 2
+                if ovf[1]:
+                    self._big_scale *= 2
+                self._frames_since_rebuild = 0
+                self._program_cache.clear()
+                plan = self._get_plan(window)
+                fb, overflow = plan.fn(args)
+                ovf = np.asarray(overflow)
+        self.last_overflow = overflow
         window.framebuffer = fb
         return fb
 
@@ -295,7 +325,8 @@ class Draw:
         key = (rend.scene_version, window.id,
                tuple(s.id for s, _ in self._items),
                tuple(c is not None for _, c in self._items),
-               window.width, window.height, backend)
+               window.width, window.height, backend, self._round_scale,
+               self._big_scale)
         plan = self._program_cache.get(key)
         if plan is not None:
             return plan
@@ -309,10 +340,15 @@ class Draw:
             surfaces.append(_build_batches(s, rend))
         raster_cfg = None
         if backend == "pallas":
+            import dataclasses
+
             from ..ops import raster_pallas
             raster_cfg = getattr(rend, "raster_cfg", None) or \
                 raster_pallas.RasterConfig(
                     interpret=jax.default_backend() == "cpu")
+            raster_cfg = dataclasses.replace(
+                raster_cfg, round_scale=self._round_scale,
+                big_scale=self._big_scale)
         plan = _FramePlan(
             n_nodes=len(rend.scene_nodes), parents=parents, levels=levels,
             surfaces=surfaces,
@@ -326,14 +362,32 @@ class Draw:
     def _gather_args(self, plan: _FramePlan, window) -> dict:
         rend = self.renderer
         nodes = rend.scene_nodes
-        locals_ = np.stack([n.xform for n in nodes]).astype(np.float32)
-        aabb_min = np.stack([np.nan_to_num(n.bounding_box_p0,
-                                           neginf=-1e30, posinf=1e30)
-                             for n in nodes]).astype(np.float32)
-        aabb_max = np.stack([np.nan_to_num(n.bounding_box_p1,
-                                           neginf=-1e30, posinf=1e30)
-                             for n in nodes]).astype(np.float32)
-        finite = np.array([n.has_finite_aabb for n in nodes], bool)
+        # locals change every frame (camera): fill a preallocated host
+        # buffer, one transfer. AABBs/finite flags change rarely: cache
+        # their device arrays by bounds_version.
+        buf = self._locals_buf
+        if buf is None or buf.shape[0] != len(nodes):
+            buf = self._locals_buf = np.empty((len(nodes), 4, 4),
+                                              np.float32)
+        for i, n in enumerate(nodes):
+            buf[i] = n.xform
+        locals_ = buf
+
+        if self._bounds_cache_key != (rend.scene_version,
+                                      rend.bounds_version):
+            aabb_min = np.stack([np.nan_to_num(n.bounding_box_p0,
+                                               neginf=-1e30, posinf=1e30)
+                                 for n in nodes]).astype(np.float32)
+            aabb_max = np.stack([np.nan_to_num(n.bounding_box_p1,
+                                               neginf=-1e30, posinf=1e30)
+                                 for n in nodes]).astype(np.float32)
+            finite = np.array([n.has_finite_aabb for n in nodes], bool)
+            self._bounds_cache = (jnp.asarray(aabb_min),
+                                  jnp.asarray(aabb_max),
+                                  jnp.asarray(finite))
+            self._bounds_cache_key = (rend.scene_version,
+                                      rend.bounds_version)
+        aabb_min, aabb_max, finite = self._bounds_cache
 
         surfaces = []
         for (surface, clear), splan in zip(self._items, plan.surfaces):
@@ -346,8 +400,13 @@ class Draw:
                                   for inst in b.instances]
                             for loc in b.binding_locs}
                 batches.append({"vbs": vbs, "bindings": bindings})
+            if getattr(surface, "_persp_cache_src", None) is not \
+                    surface.perspective_matrix:
+                surface._persp_cache = jnp.asarray(
+                    surface.perspective_matrix)
+                surface._persp_cache_src = surface.perspective_matrix
             surfaces.append({
-                "persp": jnp.asarray(surface.perspective_matrix),
+                "persp": surface._persp_cache,
                 "clear": jnp.asarray(
                     clear if clear is not None
                     else np.zeros(4, np.float32)),
@@ -356,8 +415,8 @@ class Draw:
         return {
             "fb": window.framebuffer,
             "locals": jnp.asarray(locals_),
-            "aabb_min": jnp.asarray(aabb_min),
-            "aabb_max": jnp.asarray(aabb_max),
-            "finite": jnp.asarray(finite),
+            "aabb_min": aabb_min,
+            "aabb_max": aabb_max,
+            "finite": finite,
             "surfaces": surfaces,
         }

@@ -52,6 +52,7 @@ class SceneNode:
         self.bounding_box_p0 = np.asarray(p0, np.float32).reshape(3)
         self.bounding_box_p1 = np.asarray(p1, np.float32).reshape(3)
         self.updated = False
+        self.renderer.bump_bounds_version()
 
     def add_child(self, child: "SceneNode") -> None:
         """Union the child's AABB into this node's (``:54-65``)."""
