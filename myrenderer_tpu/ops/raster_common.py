@@ -83,30 +83,30 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
     also drops zero-area degenerates, making zero padding free).
     """
     f32 = jnp.float32
-    x, y, z, w = (tri_clip[..., i].astype(f32) for i in range(4))
+    # All math on flat [T] vectors: a [T, 3]-shaped op uses 3 of the
+    # VPU's 128 lanes; flat vectors use all of them.
+    xs = [tri_clip[:, k, 0].astype(f32) for k in range(3)]
+    ys = [tri_clip[:, k, 1].astype(f32) for k in range(3)]
+    zs = [tri_clip[:, k, 2].astype(f32) for k in range(3)]
+    ws = [tri_clip[:, k, 3].astype(f32) for k in range(3)]
 
-    u = (0.5 * x + 0.5 * w) * f32(width)
-    v = (0.5 * w - 0.5 * y) * f32(height)
+    us = [(0.5 * x + 0.5 * w) * f32(width) for x, w in zip(xs, ws)]
+    vs = [(0.5 * w - 0.5 * y) * f32(height) for y, w in zip(ys, ws)]
 
-    # edge k spans vertices (k+1, k+2) mod 3; static slices only (fancy
-    # indexing lowers to gathers, which are slow on TPU)
-    ui = jnp.stack([u[:, 1], u[:, 2], u[:, 0]], axis=1)
-    vi = jnp.stack([v[:, 1], v[:, 2], v[:, 0]], axis=1)
-    wi = jnp.stack([w[:, 1], w[:, 2], w[:, 0]], axis=1)
-    uj = jnp.stack([u[:, 2], u[:, 0], u[:, 1]], axis=1)
-    vj = jnp.stack([v[:, 2], v[:, 0], v[:, 1]], axis=1)
-    wj = jnp.stack([w[:, 2], w[:, 0], w[:, 1]], axis=1)
-
-    a = vi * wj - vj * wi                       # [T, 3]
-    b = uj * wi - ui * wj
-    c = ui * vj - uj * vi
+    # edge k spans vertices (k+1, k+2) mod 3
+    aa, bb, cc = [], [], []
+    for k in range(3):
+        i, j = (k + 1) % 3, (k + 2) % 3
+        aa.append(vs[i] * ws[j] - vs[j] * ws[i])
+        bb.append(us[j] * ws[i] - us[i] * ws[j])
+        cc.append(us[i] * vs[j] - us[j] * vs[i])
 
     # det = e_0 evaluated at P_0 (homogeneous)
-    det = a[:, 0] * u[:, 0] + b[:, 0] * v[:, 0] + c[:, 0] * w[:, 0]
+    det = aa[0] * us[0] + bb[0] * vs[0] + cc[0] * ws[0]
 
     if cull_mode == "back":
         facing_ok = det > 0
-        sign = jnp.ones_like(det)
+        sign = None
     elif cull_mode == "front":
         facing_ok = det < 0
         sign = -jnp.ones_like(det)
@@ -117,23 +117,35 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
         raise ValueError(f"unknown cull_mode {cull_mode!r}")
 
     # Orient edges so interior is always e > 0.
-    a = a * sign[:, None]
-    b = b * sign[:, None]
-    c = c * sign[:, None]
+    if sign is not None:
+        aa = [a * sign for a in aa]
+        bb = [b * sign for b in bb]
+        cc = [c * sign for c in cc]
 
-    w_ok = jnp.all(w > W_EPS, axis=1)
+    w_ok = (ws[0] > W_EPS) & (ws[1] > W_EPS) & (ws[2] > W_EPS)
     valid = valid & facing_ok & w_ok
 
-    z_abc = jnp.stack([(a * z).sum(1), (b * z).sum(1), (c * z).sum(1)], axis=1)
-    w_abc = jnp.stack([(a * w).sum(1), (b * w).sum(1), (c * w).sum(1)], axis=1)
-    en_abc = jnp.stack([a.sum(1), b.sum(1), c.sum(1)], axis=1)
-    col = tri_vary.astype(f32)                   # [T, 3, C]
-    col_abc = jnp.stack([
-        (a[:, :, None] * col).sum(1),
-        (b[:, :, None] * col).sum(1),
-        (c[:, :, None] * col).sum(1),
-    ], axis=1)                                   # [T, 3, C]
+    def plane(vals):
+        return jnp.stack([
+            aa[0] * vals[0] + aa[1] * vals[1] + aa[2] * vals[2],
+            bb[0] * vals[0] + bb[1] * vals[1] + bb[2] * vals[2],
+            cc[0] * vals[0] + cc[1] * vals[1] + cc[2] * vals[2],
+        ], axis=1)                               # [T, 3]
 
+    z_abc = plane(zs)
+    w_abc = plane(ws)
+    en_abc = jnp.stack([aa[0] + aa[1] + aa[2],
+                        bb[0] + bb[1] + bb[2],
+                        cc[0] + cc[1] + cc[2]], axis=1)
+    C = tri_vary.shape[-1]
+    cols = [[tri_vary[:, k, ch].astype(f32) for k in range(3)]
+            for ch in range(C)]
+    col_abc = jnp.stack([plane(cols[ch]) for ch in range(C)],
+                        axis=-1)                 # [T, 3, C]
+
+    a = jnp.stack(aa, axis=1)
+    b = jnp.stack(bb, axis=1)
+    c = jnp.stack(cc, axis=1)
     return TriCoeffs(edge_a=a, edge_b=b, edge_c=c, z_abc=z_abc,
                      w_abc=w_abc, col_abc=col_abc, en_abc=en_abc,
                      valid=valid)

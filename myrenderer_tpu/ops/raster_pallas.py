@@ -5,38 +5,37 @@ raster/depth hardware the reference drives through ``mach.gpu``
 (``Renderer/Pipeline.zig:137-161``). Three stages per raster batch:
 
 1. **Setup** (XLA): ``raster_common.triangle_setup`` -> per-triangle
-   linear coefficients, packed f32[T, 16] (+ the triangle id as a 17th
-   lane so the kernel never needs an index side-channel).
+   linear plane coefficients (edges, depth, varyings), packed
+   f32[T, 32] with the triangle id as a lane.
 2. **Binning** (XLA): each triangle's pixel AABB is mapped to the tile
    grid; (tile, triangle) pairs are encoded as ``tile * (T+1) + tri``
    keys and sorted — within a tile, triangles stay in ascending
    submission order by construction, which preserves the depth-tie
-   semantics of the reference's 'less' test. The coefficient rows are
-   then *pre-gathered* into per-(tile, round) blocks — gather is XLA's
-   strength; the kernel only ever streams contiguous memory. Triangles
-   spanning more than ``max_tiles_per_tri`` tiles go to a small shared
-   "big" block processed by every tile after its binned rounds.
-3. **Kernel** (Pallas, grid = (tile rows, tile cols, rounds)): each
-   program owns one (tile_h, tile_w) framebuffer tile resident in VMEM
-   across all its rounds while Pallas pipelines the (C, 17) coefficient
-   blocks in. The round's triangles are walked sequentially — no
-   atomics needed, the loop order IS the depth resolve — evaluating
-   edge/depth planes as (1,1)-broadcast FMAs over the tile's pixel grid
-   (``raster_common.coverage_depth``, the same rule the oracle uses, so
-   per-pixel *decisions* are bit-identical), writing per-pixel depth +
-   winning triangle index.
+   semantics of the reference's 'less' test. The result is a *CSR*
+   structure: one compact sorted entry-id array plus per-tile
+   (start, count) offsets — no per-tile capacity, no bin overflow, no
+   dense slack. Triangles spanning more than ``max_tiles_per_tri``
+   tiles go to a small shared "big" block processed by every tile
+   after its binned triangles (adaptively sized).
+3. **Kernel** (Pallas, grid = tile rows x tile cols): each program owns
+   one (tile_h, tile_w) framebuffer tile in VMEM. Per chunk of
+   ``chunk`` triangles it DMAs the chunk's entry ids from HBM into
+   SMEM, assembles their coefficient rows from the VMEM-resident
+   packed table (in-kernel gather — XLA-side row gathers measured 3-6x
+   slower), and evaluates all planes as (G, tile-pixels) outer-product
+   FMAs (single-axis broadcasts, VPU-shaped). The depth resolve is a
+   min-reduction over the chunk with lowest-triangle-id tie-break —
+   exactly the sequential 'less' depth test's semantics, no atomics.
+   Varying interpolation is fused: the winning triangle's varying
+   numerators/denominator are selected by the same mask, so shading
+   needs no per-pixel gathers.
 
-Shading stays in XLA: the winner buffer is a visibility buffer; the
-batch's fragment function runs once per pixel on perspective-correct
-interpolated varyings (``raster_ref.shade``).
+Shading finishes in XLA: one division and the pipeline's fragment
+function over dense [H, W] buffers (``shade_from_planes``).
 
-Capacity model (XLA needs static shapes): ``bin_capacity`` triangles
-per tile per *round*, with the round count auto-sized from the
-scene/tile ratio unless given. Per-tile overflow beyond
-``rounds * bin_capacity`` drops triangles and sets the overflow flag
-(callers/tests/bench assert it's clear); at small framebuffers the
-auto sizing degrades gracefully to brute force (every triangle in
-every tile's bins).
+The only static capacity left is ``max_tiles_per_tri`` (bbox tile span
+before a triangle is routed to the big list) and the big list size,
+which Draw scales adaptively when a frame reports big-list overflow.
 """
 
 from __future__ import annotations
@@ -61,14 +60,11 @@ LANES = rc.FULL_LANES
 class RasterConfig:
     tile_h: int = 16
     tile_w: int = 128
-    bin_capacity: int = 512       # triangles per tile per round
-    bin_rounds: Optional[int] = None  # None = auto from scene density
-    round_scale: int = 1          # multiplier on auto rounds (adaptive)
-    max_tiles_per_tri: int = 16   # bbox tiles before a tri goes "big"
+    max_tiles_per_tri: int = 8    # bbox tiles before a tri goes "big"
     big_capacity: int = 64        # full-frame triangles per batch
     big_scale: int = 1            # multiplier on big_capacity (adaptive)
     chunk: int = 64               # triangles per (G, THW) inner step
-    interpret: bool = False       # Pallas interpreter (CPU testing)
+    interpret: bool = False      # Pallas interpreter (CPU testing)
 
 
 DEFAULT_CONFIG = RasterConfig()
@@ -78,33 +74,25 @@ def _cdiv(a: int, b: int) -> int:
     return (a + b - 1) // b
 
 
-def _auto_rounds(T: int, NT: int, cfg: RasterConfig) -> int:
-    """Rounds so that ~8x the mean triangles-per-tile fits (scaled by
-    ``round_scale``, which Draw bumps when a frame reports overflow);
-    degrades to brute force (all T triangles per tile) when tiles are
-    few or the scale grows."""
-    per_tile = min(T, max(256, (8 * T) // max(NT, 1)) * cfg.round_scale)
-    return max(1, _cdiv(per_tile, cfg.bin_capacity))
-
-
 # ---------------------------------------------------------------------------
-# binning (XLA)
+# binning (XLA): CSR entries
 # ---------------------------------------------------------------------------
 
 def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
-                  width: int, cfg: RasterConfig, rounds: int):
-    """Bin triangles and pre-gather their coefficient rows.
+                  width: int, cfg: RasterConfig):
+    """CSR-bin triangles to tiles.
 
-    Returns (binned f32[NT*R, C, LANES], counts i32[NT*R],
-    big f32[1, B, LANES], big_count i32[1], overflowed bool[])."""
+    Returns (entry_ids i32[E+pad], starts i32[NT], counts i32[NT],
+    big_rows f32[1, B, LANES], big_count i32[1], overflow_big bool[]).
+    E = max_tiles_per_tri * T is the static entry capacity; every
+    triangle-tile incidence with span <= K gets a slot, so binned
+    coverage is exact (no overflow)."""
     T = tri_clip.shape[0]
     nty = _cdiv(height, cfg.tile_h)
     ntx = _cdiv(width, cfg.tile_w)
     NT = nty * ntx
     K = cfg.max_tiles_per_tri
-    C = cfg.bin_capacity
     B = cfg.big_capacity * cfg.big_scale
-    cap_total = rounds * C
 
     w = jnp.maximum(tri_clip[..., 3], rc.W_EPS)
     u = (0.5 * tri_clip[..., 0] / w + 0.5) * width    # [T, 3] pixel x
@@ -148,147 +136,154 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     starts = jnp.searchsorted(keys, tile_range * (T + 1)).astype(jnp.int32)
     ends = jnp.searchsorted(keys, (tile_range + 1) * (T + 1)).astype(
         jnp.int32)
-    counts_full = ends - starts                        # [NT]
-    overflow_small = jnp.any(counts_full > cap_total)
+    counts = ends - starts                             # [NT], uncapped
 
-    slot = jnp.arange(cap_total, dtype=jnp.int32)[None, :]
-    gather_pos = jnp.clip(starts[:, None] + slot, 0, keys.shape[0] - 1)
-    bin_ids = (keys[gather_pos] % (T + 1)).astype(jnp.int32)  # [NT, capT]
-
-    total = jnp.minimum(counts_full, cap_total)
-    r = jnp.arange(rounds, dtype=jnp.int32)[None, :]
-    counts = jnp.clip(total[:, None] - r * C, 0, C)    # [NT, R]
-
-    # packed coefficient+varying rows, gathered per bin slot
-    packed = rc.pack_coeffs_full(tc)                   # [T, 32]
-    binned = packed[bin_ids.reshape(-1)].reshape(
-        NT * rounds, C, LANES)
+    entry_ids = jnp.clip(keys % (T + 1), 0, max(T - 1, 0)).astype(
+        jnp.int32)
+    # pad to a whole number of 1024-id DMA windows (i32 tile granularity)
+    E = entry_ids.shape[0]
+    epad = (-E) % 1024 + 1024
+    entry_ids = jnp.concatenate([entry_ids,
+                                 jnp.zeros(epad, jnp.int32)])
+    entry_ids = entry_ids.reshape(-1, 128)             # [rows, 128]
 
     # big list: indices of 'big' triangles in submission order
     big_order = jnp.where(big, tri_idx, T)
-    big_sorted = jnp.sort(big_order)
+    big_sorted = jnp.sort(big_order, stable=False)
     big_count_full = big.sum(dtype=jnp.int32)
     overflow_big = big_count_full > B
     big_count = jnp.minimum(big_count_full, B)
     big_ids = jnp.clip(big_sorted[:B], 0, max(T - 1, 0)).astype(jnp.int32)
-    big_rows = packed[big_ids][None]                   # [1, B, 17]
+    packed = rc.pack_coeffs_full(tc)                   # [T, 32]
+    big_rows = packed[big_ids][None]                   # [1, B, 32]
 
-    overflowed = jnp.stack([overflow_small, overflow_big])
-    return binned, counts.reshape(-1), big_rows, big_count[None], overflowed
+    return entry_ids, starts, counts, packed, big_rows, big_count[None], \
+        overflow_big
 
 
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _raster_kernel(counts_ref, big_count_ref, binned_ref, big_ref,
-                   depth_in_ref, depth_out_ref, winner_ref, num_ref,
-                   den_ref,
+def _raster_kernel(starts_ref, counts_ref, big_count_ref, entry_ids_hbm,
+                   packed_ref, big_ref, depth_in_ref,
+                   depth_out_ref, winner_ref, num_ref, den_ref,
+                   rows_scratch, ids_scratch, dma_sem,
                    *, tile_h: int, tile_w: int, base_index: int,
-                   rounds: int, chunk: int):
-    """One program = one (tile_h, tile_w) framebuffer tile x one round.
+                   chunk: int):
+    """One program = one (tile_h, tile_w) framebuffer tile.
 
-    TPU-shaped inner loop: triangles are processed ``chunk`` at a time
-    as (G, THW) arrays — per-triangle coefficients are (G, 1) columns,
-    per-pixel coordinates a (1, THW) row, so every edge/depth/varying
-    plane is an outer-product FMA (single-axis broadcasts only,
-    VPU-friendly). The depth resolve is a min-reduction over the chunk
-    axis with lowest-triangle-id tie-break, which equals the reference's
-    sequential 'less' depth test because bins hold ascending triangle
-    ids: equal depths resolve to the earliest submission.
-
-    Shading is fused: the winning triangle's varying numerators and
-    denominator are selected in the same pass (visibility buffer +
-    interpolation without any per-pixel gather), leaving only the
-    division and the fragment function to dense XLA ops outside.
-    """
+    Streams the tile's CSR bin: the id stream is fetched in 1024-id DMA
+    windows (the i32 tile granularity; segments need no alignment — a
+    window may start before the segment), coefficient rows are
+    assembled from the VMEM-resident packed table (in-kernel gather),
+    and everything is evaluated as (G, THW) outer-product FMAs with a
+    min-reduce depth resolve (lowest-id tie-break == submission-order
+    'less' semantics; bins are ascending by construction)."""
     THW = tile_h * tile_w
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-    r = pl.program_id(2)
     ntx = pl.num_programs(1)
+    t = ty * ntx + tx
 
     flat = lax.broadcasted_iota(jnp.int32, (1, THW), 1)
     px = ((flat % tile_w) + tx * tile_w).astype(jnp.float32) + 0.5
     py = ((flat // tile_w) + ty * tile_h).astype(jnp.float32) + 0.5
 
-    # Round 0 initializes the tile; the out blocks stay resident in VMEM
-    # across this tile's consecutive rounds (same block index).
-    @pl.when(r == 0)
-    def _():
-        depth_out_ref[...] = depth_in_ref[...]
-        winner_ref[...] = jnp.full((tile_h, tile_w), -1, jnp.int32)
-        num_ref[...] = jnp.zeros((4, tile_h, tile_w), jnp.float32)
-        den_ref[...] = jnp.ones((tile_h, tile_w), jnp.float32)
-
-    num_block = num_ref[...]                       # (4, TH, TW)
-    carry0 = (depth_out_ref[...].reshape(1, THW),
-              winner_ref[...].reshape(1, THW),
-              tuple(num_block[ch].reshape(1, THW) for ch in range(4)),
-              den_ref[...].reshape(1, THW))
-
-    n = counts_ref[(ty * ntx + tx) * rounds + r]
-
-    def make_chunk_body(ref, bound):
-        def chunk_body(ci, carry):
-            depth, winner, nums, den = carry
-            start = ci * chunk
-            sub = ref[0, pl.ds(start, chunk), :]       # (G, LANES)
-            scalars = tuple(sub[:, k:k + 1]
-                            for k in range(rc.COEFF_LANES))
-            cov, z = rc.coverage_depth(scalars, px, py)  # (G, THW)
-            slot = (lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-                    + start)
-            cov = cov & (slot < bound)                 # mask bin tail
-            zm = jnp.where(cov, z, jnp.float32(2.0))
-            ids = jnp.broadcast_to(sub[:, 16:17], (chunk, THW))
-            zmin = jnp.min(zm, axis=0, keepdims=True)  # (1, THW)
-            idmin = jnp.min(jnp.where(zm == zmin, ids,
-                                      jnp.float32(3e38)),
-                            axis=0, keepdims=True)
-            win = zmin < depth
-
-            # varying planes of the winning row (exactly one row matches
-            # zmin & idmin & cov at each winning pixel)
-            is_win_row = cov & (zm == zmin) & (ids == idmin)
-            wf = is_win_row.astype(jnp.float32)
-
-            def plane(ka, kb, kc):
-                val = (sub[:, ka:ka + 1] * px + sub[:, kb:kb + 1] * py
-                       + sub[:, kc:kc + 1])
-                return jnp.sum(wf * val, axis=0, keepdims=True)
-
-            den_c = plane(17, 18, 19)
-            nums_c = tuple(plane(20 + 3 * ch, 21 + 3 * ch, 22 + 3 * ch)
-                           for ch in range(4))
-
-            idw = idmin.astype(jnp.int32) + jnp.int32(base_index)
-            return (jnp.where(win, zmin, depth),
-                    jnp.where(win, idw, winner),
-                    tuple(jnp.where(win, nc, old)
-                          for nc, old in zip(nums_c, nums)),
-                    jnp.where(win, den_c, den))
-        return chunk_body
-
-    nchunks = lax.div(n + chunk - 1, chunk)
-    carry = lax.fori_loop(0, nchunks, make_chunk_body(binned_ref, n),
-                          carry0)
-
-    # big triangles run once, after all binned rounds (ties-only
-    # deviation from global submission order; documented)
+    start = starts_ref[t]
+    n = counts_ref[t]
+    end = start + n
     nbig = big_count_ref[0]
 
-    def run_big(cr):
-        nb = lax.div(nbig + chunk - 1, chunk)
-        return lax.fori_loop(0, nb, make_chunk_body(big_ref, nbig), cr)
+    def eval_chunk(sub, live, carry):
+        """sub: (G, LANES) coefficient rows; live: (G, 1) slot mask."""
+        depth, winner, nums, den = carry
+        scalars = tuple(sub[:, k:k + 1] for k in range(rc.COEFF_LANES))
+        cov, z = rc.coverage_depth(scalars, px, py)    # (G, THW)
+        cov = cov & live
+        zm = jnp.where(cov, z, jnp.float32(2.0))
+        ids = jnp.broadcast_to(sub[:, 16:17], (chunk, THW))
+        zmin = jnp.min(zm, axis=0, keepdims=True)      # (1, THW)
+        idmin = jnp.min(jnp.where(zm == zmin, ids, jnp.float32(3e38)),
+                        axis=0, keepdims=True)
+        win = zmin < depth
 
-    depth, winner, nums, den = lax.cond(r == rounds - 1, run_big,
-                                        lambda cr: cr, carry)
+        # varying planes of the winning row (exactly one row matches)
+        is_win_row = cov & (zm == zmin) & (ids == idmin)
+        wf = is_win_row.astype(jnp.float32)
+
+        def plane(ka, kb, kc):
+            val = (sub[:, ka:ka + 1] * px + sub[:, kb:kb + 1] * py
+                   + sub[:, kc:kc + 1])
+            return jnp.sum(wf * val, axis=0, keepdims=True)
+
+        den_c = plane(17, 18, 19)
+        nums_c = tuple(plane(20 + 3 * ch, 21 + 3 * ch, 22 + 3 * ch)
+                       for ch in range(4))
+
+        idw = idmin.astype(jnp.int32) + jnp.int32(base_index)
+        return (jnp.where(win, zmin, depth),
+                jnp.where(win, idw, winner),
+                tuple(jnp.where(win, nc, old)
+                      for nc, old in zip(nums_c, nums)),
+                jnp.where(win, den_c, den))
+
+    # --- binned triangles: 1024-id windows, chunk sub-loops ------------
+    blk0 = lax.div(start, 1024)
+    nblk = lax.div(end + 1023, 1024) - blk0
+
+    def block_body(b, carry):
+        base = (blk0 + b) * 1024
+        dma = pltpu.make_async_copy(
+            entry_ids_hbm.at[pl.ds((blk0 + b) * 8, 8), :],
+            ids_scratch, dma_sem)
+        dma.start()
+        dma.wait()
+        lo = jnp.maximum(start - base, 0)
+        hi = jnp.minimum(end - base, 1024)
+
+        def chunk_body(ci, carry):
+            off = lo + ci * chunk
+
+            def assemble(g, _):
+                # clamp: the tail chunk's slots may run past the window
+                # (they are masked out of coverage, but the scratch read
+                # must stay in bounds)
+                pos = jnp.minimum(off + g, 1023)
+                idx = ids_scratch[lax.div(pos, 128), lax.rem(pos, 128)]
+                rows_scratch[pl.ds(g, 1), :] = \
+                    packed_ref[pl.ds(idx, 1), :]
+                return 0
+
+            lax.fori_loop(0, chunk, assemble, 0)
+            pos = (lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+                   + base + off)
+            live = pos < end
+            return eval_chunk(rows_scratch[...], live, carry)
+
+        nchunks = lax.div(hi - lo + chunk - 1, chunk)
+        return lax.fori_loop(0, nchunks, chunk_body, carry)
+
+    carry = (depth_in_ref[...].reshape(1, THW),
+             jnp.full((1, THW), -1, jnp.int32),
+             tuple(jnp.zeros((1, THW), jnp.float32) for _ in range(4)),
+             jnp.ones((1, THW), jnp.float32))
+    carry = lax.fori_loop(0, nblk, block_body, carry)
+
+    # big triangles after binned ones (ties-only order deviation)
+    def big_chunk(ci, carry):
+        sub = big_ref[0, pl.ds(ci * chunk, chunk), :]
+        slot = (lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+                + ci * chunk)
+        return eval_chunk(sub, slot < nbig, carry)
+
+    depth, winner, nums, den = lax.fori_loop(
+        0, lax.div(nbig + chunk - 1, chunk), big_chunk, carry)
 
     depth_out_ref[...] = depth.reshape(tile_h, tile_w)
     winner_ref[...] = winner.reshape(tile_h, tile_w)
     num_ref[...] = jnp.concatenate(
-        [n.reshape(1, tile_h, tile_w) for n in nums], axis=0)
+        [nc.reshape(1, tile_h, tile_w) for nc in nums], axis=0)
     den_ref[...] = den.reshape(tile_h, tile_w)
 
 
@@ -300,14 +295,14 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
     """Pallas fused rasterize pass.
 
     Returns (depth f32[H,W], winner i32[H,W], vary_num f32[4,H,W],
-    vary_den f32[H,W], overflowed bool[2] = (bins, big list)). The
-    perspective-correct
+    vary_den f32[H,W], overflowed bool[2] = (bins, big list); the bins
+    flag is always False with CSR binning). The perspective-correct
     varyings of the winning triangle at pixel p are
     ``vary_num[:, p] / vary_den[p]`` (denominator is 1 where uncovered).
 
     Decision-identical to ``raster_ref.rasterize_visibility`` (same
     winners; depth/color values may differ by ~1 ulp of FMA contraction)
-    for non-overflowing scenes without exact cross-category depth ties.
+    for scenes without exact big-vs-binned depth ties.
 
     ``tri_clip`` (clip positions) is required for binning.
     """
@@ -320,61 +315,60 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
     T = tri_clip.shape[0]
     nty = _cdiv(height, cfg.tile_h)
     ntx = _cdiv(width, cfg.tile_w)
-    NT = nty * ntx
     ph, pw = nty * cfg.tile_h, ntx * cfg.tile_w
-    rounds = cfg.bin_rounds or _auto_rounds(T, NT, cfg)
+    B = cfg.big_capacity * cfg.big_scale
+    chunk = min(cfg.chunk, B)
+    if B % chunk:
+        raise ValueError(f"big capacity ({B}) must be a multiple of "
+                         f"chunk ({chunk})")
 
-    binned, counts, big_rows, big_count, overflowed = bin_triangles(
-        tc, tri_clip, height, width, cfg, rounds)
+    entry_ids, starts, counts, packed, big_rows, big_count, ovf_big = \
+        bin_triangles(tc, tri_clip, height, width, cfg)
 
     depth_p = jnp.pad(depth, ((0, ph - height), (0, pw - width)),
                       constant_values=1.0)
 
-    B = cfg.big_capacity * cfg.big_scale
-    chunk = min(cfg.chunk, cfg.bin_capacity, B)
-    if cfg.bin_capacity % chunk or B % chunk:
-        raise ValueError(
-            f"bin_capacity ({cfg.bin_capacity}) and big capacity "
-            f"({B}) must be multiples of chunk ({chunk})")
     kernel = functools.partial(_raster_kernel, tile_h=cfg.tile_h,
                                tile_w=cfg.tile_w, base_index=base_index,
-                               rounds=rounds, chunk=chunk)
+                               chunk=chunk)
     tile_spec = pl.BlockSpec((cfg.tile_h, cfg.tile_w),
-                             lambda ty, tx, r: (ty, tx),
+                             lambda ty, tx: (ty, tx),
                              memory_space=pltpu.VMEM)
     depth_out, winner, num, den = pl.pallas_call(
         kernel,
-        grid=(nty, ntx, rounds),
+        grid=(nty, ntx),
         in_specs=[
-            # whole count table + big count live in SMEM (a few KB)
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # starts
             pl.BlockSpec(memory_space=pltpu.SMEM),           # counts
             pl.BlockSpec(memory_space=pltpu.SMEM),           # big count
-            pl.BlockSpec((1, cfg.bin_capacity, LANES),
-                         lambda ty, tx, r, R=rounds, ntx=ntx:
-                         ((ty * ntx + tx) * R + r, 0, 0),
-                         memory_space=pltpu.VMEM),           # binned coeffs
-            pl.BlockSpec((1, B, LANES),
-                         lambda ty, tx, r: (0, 0, 0),
-                         memory_space=pltpu.VMEM),           # big coeffs
+            pl.BlockSpec(memory_space=pltpu.HBM),            # entry ids
+            pl.BlockSpec((packed.shape[0], LANES),
+                         lambda ty, tx: (0, 0),
+                         memory_space=pltpu.VMEM),           # packed table
+            pl.BlockSpec((1, B, LANES), lambda ty, tx: (0, 0, 0),
+                         memory_space=pltpu.VMEM),           # big rows
             tile_spec,                                       # depth in
         ],
-        out_specs=[
-            tile_spec,                                       # depth out
-            tile_spec,                                       # winner
-            pl.BlockSpec((4, cfg.tile_h, cfg.tile_w),
-                         lambda ty, tx, r: (0, ty, tx),
-                         memory_space=pltpu.VMEM),           # vary num
-            tile_spec,                                       # vary den
-        ],
+        out_specs=[tile_spec, tile_spec,
+                   pl.BlockSpec((4, cfg.tile_h, cfg.tile_w),
+                                lambda ty, tx: (0, ty, tx),
+                                memory_space=pltpu.VMEM),
+                   tile_spec],
         out_shape=[
             jax.ShapeDtypeStruct((ph, pw), jnp.float32),
             jax.ShapeDtypeStruct((ph, pw), jnp.int32),
             jax.ShapeDtypeStruct((4, ph, pw), jnp.float32),
             jax.ShapeDtypeStruct((ph, pw), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((chunk, LANES), jnp.float32),         # rows
+            pltpu.SMEM((8, 128), jnp.int32),                 # id window
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=cfg.interpret,
-    )(counts, big_count, binned, big_rows, depth_p)
+    )(starts, counts, big_count, entry_ids, packed, big_rows, depth_p)
 
+    overflowed = jnp.stack([jnp.zeros((), bool), ovf_big])
     return (depth_out[:height, :width], winner[:height, :width],
             num[:, :height, :width], den[:height, :width], overflowed)
 

@@ -239,7 +239,6 @@ class Draw:
         self._items: list = []
         self._clear: Optional[np.ndarray] = None
         self._program_cache: dict = {}
-        self._round_scale = 1   # bumped when bins overflow
         self._big_scale = 1     # bumped when the big list overflows
         self._frames_since_rebuild = 0
         self._locals_buf = None
@@ -293,15 +292,11 @@ class Draw:
         # state stays fully asynchronous.
         if (plan.raster_cfg is not None
                 and self._frames_since_rebuild < 3
-                and (self._round_scale < 64 or self._big_scale < 64)):
+                and self._big_scale < 256):
             self._frames_since_rebuild += 1
             ovf = np.asarray(overflow)
-            while ovf.any() and (self._round_scale < 64
-                                 or self._big_scale < 64):
-                if ovf[0]:
-                    self._round_scale *= 2
-                if ovf[1]:
-                    self._big_scale *= 2
+            while ovf.any() and self._big_scale < 256:
+                self._big_scale *= 2
                 self._frames_since_rebuild = 0
                 self._program_cache.clear()
                 plan = self._get_plan(window)
@@ -325,8 +320,7 @@ class Draw:
         key = (rend.scene_version, window.id,
                tuple(s.id for s, _ in self._items),
                tuple(c is not None for _, c in self._items),
-               window.width, window.height, backend, self._round_scale,
-               self._big_scale)
+               window.width, window.height, backend, self._big_scale)
         plan = self._program_cache.get(key)
         if plan is not None:
             return plan
@@ -347,8 +341,7 @@ class Draw:
                 raster_pallas.RasterConfig(
                     interpret=jax.default_backend() == "cpu")
             raster_cfg = dataclasses.replace(
-                raster_cfg, round_scale=self._round_scale,
-                big_scale=self._big_scale)
+                raster_cfg, big_scale=self._big_scale)
         plan = _FramePlan(
             n_nodes=len(rend.scene_nodes), parents=parents, levels=levels,
             surfaces=surfaces,
