@@ -79,12 +79,21 @@ class Triangulation:
     ``use_native`` is not False, dispatch goes there — identical output,
     same algorithm, compiled (see ``native/triangulation.cpp``)."""
 
-    def __init__(self, seed: int = 0, use_native: Optional[bool] = None):
+    def __init__(self, seed: int = 0, use_native: Optional[bool] = None,
+                 debug: bool = False):
         self.seed = seed
         self.use_native = use_native
+        # parity with the reference's only tracing facility: per-insertion
+        # debug prints (Triangulation.zig:142,226,346; SURVEY.md §5.1),
+        # off by default.
+        self.debug = debug
         self.nodes: List[_Node] = []
         self.points: Sequence[Point] = ()
         self.root = 0
+
+    def _dbg(self, msg: str) -> None:
+        if self.debug:
+            print(f"[triangulation] {msg}")
 
     # -- geometric predicates (must match Triangulation.zig:117-136) ------
 
@@ -121,6 +130,8 @@ class Triangulation:
     def _add_point(self, point_id: int) -> None:
         """Locate the trapezoid containing the point and split it
         vertically (semantics of ``Triangulation.zig:139-196``)."""
+        if self.debug:
+            self._dbg(f"adding point {point_id} {self.points[point_id]}")
         nodes = self.nodes
         base = self.root
         while True:
@@ -170,6 +181,8 @@ class Triangulation:
         """Thread the directed edge ``point1 -> point2`` through every
         trapezoid it crosses (semantics of ``Triangulation.zig:215-396``)."""
         nodes = self.nodes
+        if self.debug:
+            self._dbg(f"adding segment ({point1}, {point2})")
         if self._point_is_above(point1, point2):
             upper, lower = point1, point2
         else:

@@ -79,11 +79,15 @@ class VertexCtx:
     arrays: ``binding(loc)`` returns that instance's value.
     """
 
-    def __init__(self, vertex_index, attrs, world, instance_id, bindings):
+    def __init__(self, vertex_index, attrs, world, instance_id, bindings,
+                 draw_instance=None):
         self.vertex_index = vertex_index
         self.attrs = attrs
         self.world = world
         self.instance_id = instance_id
+        # @builtin(instance_index) analogue: which draw-instance of an
+        # instanced draw this vertex belongs to (VertexBuffer.zig:7)
+        self.draw_instance = draw_instance
         self._bindings = bindings
 
     def attr(self, name):
@@ -106,11 +110,13 @@ class BatchVertexCtx:
     names to f32[V, k], ``worlds`` f32[I, 4, 4], ``iids`` i32[V],
     ``binding(loc)`` returns the stacked [I, ...] array."""
 
-    def __init__(self, vertex_index, attrs, worlds, iids, bindings):
+    def __init__(self, vertex_index, attrs, worlds, iids, bindings,
+                 draw_instances=None):
         self.vertex_index = vertex_index
         self.attrs = attrs
         self.worlds = worlds
         self.iids = iids
+        self.draw_instances = draw_instances
         self._bindings = bindings
 
     def attr(self, name):
@@ -123,7 +129,8 @@ class BatchVertexCtx:
 def run_vertex_stage(vertex_fn: Callable, vertex_index: jax.Array,
                      attrs: dict, worlds: jax.Array, iids: jax.Array,
                      bindings: dict,
-                     vertex_batch_fn: Callable | None = None
+                     vertex_batch_fn: Callable | None = None,
+                     draw_instances: jax.Array | None = None
                      ) -> tuple[jax.Array, jax.Array]:
     """Run the vertex stage over a packed vertex stream.
 
@@ -135,16 +142,19 @@ def run_vertex_stage(vertex_fn: Callable, vertex_index: jax.Array,
     stream at once (dense, gather-free formulations — e.g. the terrain's
     regular grid); otherwise ``vertex_fn`` is vmapped per vertex.
     """
+    if draw_instances is None:
+        draw_instances = jnp.zeros_like(vertex_index)
     if vertex_batch_fn is not None:
-        ctx = BatchVertexCtx(vertex_index, attrs, worlds, iids, bindings)
+        ctx = BatchVertexCtx(vertex_index, attrs, worlds, iids, bindings,
+                             draw_instances)
         clip, vary = vertex_batch_fn(ctx)
         return (jnp.asarray(clip, jnp.float32),
                 jnp.asarray(vary, jnp.float32))
 
-    def one(vi, attr_row, iid):
-        ctx = VertexCtx(vi, attr_row, worlds[iid], iid, bindings)
+    def one(vi, attr_row, iid, di):
+        ctx = VertexCtx(vi, attr_row, worlds[iid], iid, bindings, di)
         clip, vary = vertex_fn(ctx)
         return (jnp.asarray(clip, jnp.float32),
                 jnp.asarray(vary, jnp.float32))
 
-    return jax.vmap(one)(vertex_index, attrs, iids)
+    return jax.vmap(one)(vertex_index, attrs, iids, draw_instances)

@@ -110,6 +110,11 @@ class Renderer:
         # (pallas on TPU, oracle elsewhere)
         self.raster_backend = raster_backend
 
+        # observability (SURVEY.md §5.5): when True, Draw.end fills
+        # frame_stats with per-frame counters (no device sync)
+        self.collect_stats = False
+        self.frame_stats: dict = {}
+
     # -- lifecycle (Renderer.zig:36-56) ------------------------------------
 
     def adopt_window(self, window: Window) -> None:

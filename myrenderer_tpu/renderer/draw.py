@@ -51,10 +51,12 @@ class _BatchPlan:
     node_indices: np.ndarray        # [I]
     iids: np.ndarray                # [V] i32
     vertex_index: np.ndarray        # [V] i32
+    draw_instance: np.ndarray       # [V] i32 (@builtin(instance_index))
     tri_count: int
     attr_offsets: dict              # name -> (offset, width) or {}
     binding_locs: tuple             # managed/attachment locations
-    slices: list                    # per instance: (first_vertex, count)
+    rowspec: list                   # per draw: (vb ordinal, first, count)
+    use_batch_fn: bool
 
 
 @dataclass
@@ -109,9 +111,6 @@ def _build_batches(surface, renderer):
             items.append((node, node.backing_instance))
     batches = []
     for node, inst in items:
-        if inst.vertex_buffer.instance_count != 1:
-            raise NotImplementedError(
-                "instance_count > 1 not yet supported")
         if batches and batches[-1].pipeline is inst.pipeline:
             b = batches[-1]
             b.instances.append(inst)
@@ -120,11 +119,13 @@ def _build_batches(surface, renderer):
             batches.append(_BatchPlan(
                 pipeline=inst.pipeline, instances=[inst],
                 node_indices=np.array([node.index], np.int32),
-                iids=None, vertex_index=None, tri_count=0,
-                attr_offsets={}, binding_locs=(), slices=[]))
+                iids=None, vertex_index=None, draw_instance=None,
+                tri_count=0, attr_offsets={}, binding_locs=(),
+                rowspec=[], use_batch_fn=False))
 
     for b in batches:
-        iids, vidx, slices = [], [], []
+        iids, vidx, dinst, rowspec = [], [], [], []
+        instanced = False
         for i, inst in enumerate(b.instances):
             vb = inst.vertex_buffer
             if b.pipeline.vertex_layout is not None and not vb.has_buffer:
@@ -134,22 +135,36 @@ def _build_batches(surface, renderer):
                     "set_vertex_buffer)")
             count = vb.vertex_count
             first = vb.first_vertex
-            iids.append(np.full(count, i, np.int32))
-            vidx.append(np.arange(first, first + count, dtype=np.int32))
-            slices.append((first, count))
+            # instanced draws replicate the vertex stream once per draw
+            # instance, exposing @builtin(instance_index) to the vertex
+            # function (VertexBuffer.zig:5-9 draw args)
+            instanced |= vb.instance_count != 1
+            for rep in range(vb.instance_count):
+                iids.append(np.full(count, i, np.int32))
+                dinst.append(np.full(count, vb.first_instance + rep,
+                                     np.int32))
+                vidx.append(np.arange(first, first + count,
+                                      dtype=np.int32))
+                rowspec.append((i, first, count))
         b.iids = np.concatenate(iids) if iids else np.zeros(0, np.int32)
         b.vertex_index = (np.concatenate(vidx) if vidx
                           else np.zeros(0, np.int32))
+        b.draw_instance = (np.concatenate(dinst) if dinst
+                           else np.zeros(0, np.int32))
         total = int(b.iids.shape[0])
         if total % 3:
             raise ValueError("vertex stream not a multiple of 3")
         b.tri_count = total // 3
-        b.slices = slices
+        b.rowspec = rowspec
         layout = b.pipeline.vertex_layout
         b.attr_offsets = layout.offsets() if layout is not None else {}
         b.binding_locs = tuple(
             bl.location for bl in b.pipeline.bindings
             if bl.kind != "builtin_transform")
+        # batch (whole-stream) vertex fns assume the plain un-instanced
+        # stream; fall back to the vmapped path for instanced draws
+        b.use_batch_fn = (b.pipeline.vertex_batch_fn is not None
+                          and not instanced)
     return _SurfacePlan(surface_id=surface.id, batches=batches)
 
 
@@ -188,9 +203,8 @@ def _frame_fn(plan: _FramePlan, args):
             # packed attribute rows for this batch's vertex stream
             attrs = {}
             if b.attr_offsets:
-                rows = [vb_arr[fv:fv + count]
-                        for vb_arr, (fv, count)
-                        in zip(bargs["vbs"], b.slices)]
+                rows = [bargs["vbs"][ordinal][fv:fv + count]
+                        for ordinal, fv, count in b.rowspec]
                 packed = (jnp.concatenate(rows, axis=0) if len(rows) > 1
                           else rows[0])
                 attrs = {name: packed[:, off:off + wdt]
@@ -202,7 +216,9 @@ def _frame_fn(plan: _FramePlan, args):
             clip, vary = vs.run_vertex_stage(
                 b.pipeline.vertex_fn, jnp.asarray(b.vertex_index), attrs,
                 clip_mats, jnp.asarray(b.iids), bindings,
-                vertex_batch_fn=b.pipeline.vertex_batch_fn)
+                vertex_batch_fn=(b.pipeline.vertex_batch_fn
+                                 if b.use_batch_fn else None),
+                draw_instances=jnp.asarray(b.draw_instance))
 
             tri_clip = clip.reshape(b.tri_count, 3, 4)
             tri_vary = vary.reshape(b.tri_count, 3, vary.shape[-1])
@@ -244,6 +260,7 @@ class Draw:
         self._locals_buf = None
         self._bounds_cache = None
         self._bounds_cache_key = None
+        self._last_end_time = None
         self.last_overflow = None
         self.id = renderer._register(renderer.draws, self)
 
@@ -304,6 +321,22 @@ class Draw:
                 ovf = np.asarray(overflow)
         self.last_overflow = overflow
         window.framebuffer = fb
+        if rend.collect_stats:
+            import time as _time
+            now = _time.perf_counter()
+            last = self._last_end_time
+            self._last_end_time = now
+            rend.frame_stats = {
+                "frame": rend.frame_counter,
+                "surfaces": len(plan.surfaces),
+                "batches": sum(len(s.batches) for s in plan.surfaces),
+                "triangles_submitted": sum(
+                    b.tri_count for s in plan.surfaces for b in s.batches),
+                "ms_since_last_end": (None if last is None
+                                      else (now - last) * 1000.0),
+                "backend": plan.backend,
+                "big_scale": self._big_scale,
+            }
         return fb
 
     # -- internals -----------------------------------------------------------

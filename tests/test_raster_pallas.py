@@ -130,3 +130,44 @@ def test_demo_scene_backend_parity():
     # same covered pixels
     np.testing.assert_array_equal(fb_o[..., 3] > 0, fb_p[..., 3] > 0)
     np.testing.assert_allclose(fb_o, fb_p, atol=5e-4, rtol=1e-4)
+
+
+def test_hierarchical_instances_backend_parity():
+    """BASELINE config[2]: N instanced meshes with hierarchical
+    transforms — same image from both backends."""
+    import sys
+    sys.path.insert(0, ".")
+    from test_render_e2e import (flat_pipeline, make_renderer, ortho_unit,
+                                 render_frame, triangle_node)
+    from myrenderer_tpu import SceneNode, math3d
+
+    def build(backend):
+        rend, window = make_renderer(96, 128, backend=backend)
+        pipe, layout = flat_pipeline(rend)
+        root = SceneNode.create(rend)
+        root.set_xform(math3d.translate([0.05, 0.05, 0.0]))
+        colors = [(1, 0, 0), (0, 1, 0), (1, 1, 0), (0, 1, 1)]
+        group = root
+        for i in range(4):  # chain: each level offsets further
+            child = SceneNode.create(rend)
+            child.set_xform(math3d.translate([0.18, 0.12, 0.0]))
+            tri = triangle_node(rend, pipe, layout,
+                                [(0.0, 0.0), (0.22, 0.0), (0.0, 0.22)],
+                                color=colors[i])
+            child.add_child(tri)
+            group.add_child(child)
+            group = child
+        surf = Surface.create_window_scene(rend, window, root)
+        surf.set_perspective(ortho_unit())
+        return render_frame(rend, [surf], clear=(0, 0, 0, 1))
+
+    from myrenderer_tpu.renderer.surface import Surface
+    fb_o = build("oracle")
+    fb_p = build("pallas")
+    # coverage identical; colors to float tolerance
+    np.testing.assert_array_equal(fb_o[..., 3] > 0.5, fb_p[..., 3] > 0.5)
+    np.testing.assert_allclose(fb_o, fb_p, atol=5e-4)
+    # all four chain levels visible
+    found = {tuple(np.round(c, 2)) for c in
+             fb_o[fb_o[..., 3] > 0.5].reshape(-1, 4)[:, :3].tolist()}
+    assert len(found) >= 4

@@ -234,3 +234,99 @@ def test_frame_program_cache_reuse():
         draw.end()
         rend.update()
     assert len(draw._program_cache) == 1
+
+
+def test_instanced_draw():
+    """instance_count > 1 replicates the draw with
+    @builtin(instance_index) exposed to the vertex function
+    (VertexBuffer.zig:5-9 draw args)."""
+    rend, window = make_renderer()
+    layout = VertexLayout.create([("pos", 2), ("color", 3)])
+
+    def vfn(ctx):
+        p = ctx.attr("pos")
+        # each draw instance shifts right by 0.3 in UI space
+        off = ctx.draw_instance.astype(jnp.float32) * 0.3
+        clip = ctx.world @ jnp.stack([p[0] + off, p[1],
+                                      jnp.float32(1.0), jnp.float32(1.0)])
+        c = ctx.attr("color")
+        return clip, jnp.stack([c[0], c[1], c[2], jnp.float32(1.0)])
+
+    pipe = Pipeline.create(rend, vertex_fn=vfn,
+                           bindings=[BindingLayout(0, BUILTIN_TRANSFORM)],
+                           vertex_layout=layout)
+    vb = VertexBuffer.new(rend, 0, 1, layout)
+    vb.write_vertices(np.array([[0.05, 0.1, 1, 0, 0],
+                                [0.25, 0.1, 1, 0, 0],
+                                [0.05, 0.5, 1, 0, 0]], np.float32))
+    vb.instance_count = 3
+    node = Instance.create_node(rend, pipeline=pipe,
+                                bounding_box_p0=(0, 0, 0),
+                                bounding_box_p1=(1, 1, 2))
+    node.get_backing().set_vertex_buffer(vb)
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    fb = render_frame(rend, [surf], clear=(0, 0, 1, 1))
+    red = fb[..., 0] > 0.9
+    # three copies at x ~ 0.1, 0.4, 0.7
+    for cx in (0.08, 0.38, 0.68):
+        assert red[int(0.15 * 64), int(cx * 64)], cx
+    assert not red[int(0.15 * 64), int(0.95 * 64)]
+
+
+def test_frame_stats():
+    rend, window = make_renderer()
+    rend.collect_stats = True
+    pipe, layout = flat_pipeline(rend)
+    node = triangle_node(rend, pipe, layout,
+                         [(0.1, 0.1), (0.9, 0.1), (0.1, 0.9)])
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    render_frame(rend, [surf])
+    stats = rend.frame_stats
+    assert stats["triangles_submitted"] == 1
+    assert stats["surfaces"] == 1 and stats["batches"] == 1
+
+
+def test_textured_pipeline():
+    """Texture bindings: an f32[H,W,C] attachment sampled in the vertex
+    function (the reference declares texture_view/texture_sampler kinds,
+    Pipeline.zig:34-55, but never exercises them)."""
+    from myrenderer_tpu.ops.sampling import sample_nearest
+    from myrenderer_tpu.renderer.pipeline import TEXTURE_VIEW
+    from myrenderer_tpu import Binding
+
+    rend, window = make_renderer()
+    layout = VertexLayout.create([("pos", 2), ("uv", 2)])
+    # 2x2 checker: red / green
+    tex = np.zeros((2, 2, 4), np.float32)
+    tex[0, 0] = [1, 0, 0, 1]
+    tex[1, 1] = [1, 0, 0, 1]
+    tex[0, 1] = [0, 1, 0, 1]
+    tex[1, 0] = [0, 1, 0, 1]
+
+    def vfn(ctx):
+        p = ctx.attr("pos")
+        clip = ctx.world @ jnp.stack([p[0], p[1], jnp.float32(1.0),
+                                      jnp.float32(1.0)])
+        color = sample_nearest(ctx.binding(1), ctx.attr("uv"))
+        return clip, color
+
+    pipe = Pipeline.create(rend, vertex_fn=vfn,
+                           bindings=[BindingLayout(0, BUILTIN_TRANSFORM),
+                                     BindingLayout(1, TEXTURE_VIEW)],
+                           vertex_layout=layout)
+    vb = VertexBuffer.new(rend, 0, 1, layout)
+    vb.write_vertices(np.array([[0.0, 0.0, 0.2, 0.2],
+                                [1.0, 0.0, 0.2, 0.2],
+                                [0.0, 1.0, 0.2, 0.2]], np.float32))
+    node = Instance.create_node(
+        rend, pipeline=pipe,
+        bindings=[Binding(1, attachment=tex)],
+        bounding_box_p0=(0, 0, 0), bounding_box_p1=(1, 1, 2))
+    node.get_backing().set_vertex_buffer(vb)
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    fb = render_frame(rend, [surf], clear=(0, 0, 1, 1))
+    # all three vertices sample texel (0,0) = red
+    assert fb[10, 10, 0] > 0.9 and fb[10, 10, 1] < 0.1
