@@ -84,11 +84,14 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
     """
     f32 = jnp.float32
     # All math on flat [T] vectors: a [T, 3]-shaped op uses 3 of the
-    # VPU's 128 lanes; flat vectors use all of them.
-    xs = [tri_clip[:, k, 0].astype(f32) for k in range(3)]
-    ys = [tri_clip[:, k, 1].astype(f32) for k in range(3)]
-    zs = [tri_clip[:, k, 2].astype(f32) for k in range(3)]
-    ws = [tri_clip[:, k, 3].astype(f32) for k in range(3)]
+    # VPU's 128 lanes; flat vectors use all of them. One up-front
+    # transpose instead of 12 strided extracts (strided loads from
+    # [T, 3, 4] were the dominant cost of this function).
+    cpl = jnp.transpose(tri_clip.astype(f32), (1, 2, 0))   # [3, 4, T]
+    xs = [cpl[k, 0] for k in range(3)]
+    ys = [cpl[k, 1] for k in range(3)]
+    zs = [cpl[k, 2] for k in range(3)]
+    ws = [cpl[k, 3] for k in range(3)]
 
     us = [(0.5 * x + 0.5 * w) * f32(width) for x, w in zip(xs, ws)]
     vs = [(0.5 * w - 0.5 * y) * f32(height) for y, w in zip(ys, ws)]
@@ -138,8 +141,8 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
                         bb[0] + bb[1] + bb[2],
                         cc[0] + cc[1] + cc[2]], axis=1)
     C = tri_vary.shape[-1]
-    cols = [[tri_vary[:, k, ch].astype(f32) for k in range(3)]
-            for ch in range(C)]
+    vpl = jnp.transpose(tri_vary.astype(f32), (1, 2, 0))   # [3, C, T]
+    cols = [[vpl[k, ch] for k in range(3)] for ch in range(C)]
     col_abc = jnp.stack([plane(cols[ch]) for ch in range(C)],
                         axis=-1)                 # [T, 3, C]
 

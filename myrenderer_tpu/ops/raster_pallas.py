@@ -61,6 +61,7 @@ class RasterConfig:
     tile_h: int = 16
     tile_w: int = 128
     max_tiles_per_tri: int = 8    # bbox tiles before a tri goes "big"
+    max_table_rows: int = 32768   # VMEM packed-table capacity per pass
     big_capacity: int = 64        # full-frame triangles per batch
     big_scale: int = 1            # multiplier on big_capacity (adaptive)
     chunk: int = 64               # triangles per (G, THW) inner step

@@ -225,23 +225,37 @@ def _frame_fn(plan: _FramePlan, args):
             tri_iid = jnp.asarray(b.iids[::3])
             valid = inst_vis[tri_iid]
 
-            tc = rc.triangle_setup(tri_clip, tri_vary, valid, W, H,
-                                   b.pipeline.cull_mode)
             if plan.backend == "pallas":
                 from ..ops import raster_pallas
-                depth2, winner, num, den, ovf = raster_pallas.rasterize(
-                    tc, H, W, depth=depth, tri_clip=tri_clip,
-                    cfg=plan.raster_cfg)
-                overflow = overflow | ovf
-                fb = raster_pallas.shade_from_planes(
-                    winner, num, den, fb, b.pipeline.fragment_fn)
+                # the kernel keeps its coefficient table VMEM-resident;
+                # larger batches run as sub-batches with carried depth
+                # (later sub-batches win only on strictly-less depth, so
+                # submission-order semantics are preserved)
+                cap = plan.raster_cfg.max_table_rows
+                for lo in range(0, b.tri_count, cap):
+                    hi = min(lo + cap, b.tri_count)
+                    tc = rc.triangle_setup(
+                        tri_clip[lo:hi], tri_vary[lo:hi], valid[lo:hi],
+                        W, H, b.pipeline.cull_mode)
+                    depth2, winner, num, den, ovf = \
+                        raster_pallas.rasterize(
+                            tc, H, W, depth=depth,
+                            tri_clip=tri_clip[lo:hi],
+                            cfg=plan.raster_cfg)
+                    overflow = overflow | ovf
+                    fb = raster_pallas.shade_from_planes(
+                        winner, num, den, fb, b.pipeline.fragment_fn)
+                    if b.pipeline.depth_write:
+                        depth = depth2
             else:
+                tc = rc.triangle_setup(tri_clip, tri_vary, valid, W, H,
+                                       b.pipeline.cull_mode)
                 depth2, winner = raster_ref.rasterize_visibility(
                     tc, H, W, depth=depth)
                 fb = raster_ref.shade(tc, winner, fb,
                                       b.pipeline.fragment_fn)
-            if b.pipeline.depth_write:
-                depth = depth2
+                if b.pipeline.depth_write:
+                    depth = depth2
     return fb, overflow
 
 

@@ -171,3 +171,21 @@ def test_hierarchical_instances_backend_parity():
     found = {tuple(np.round(c, 2)) for c in
              fb_o[fb_o[..., 3] > 0.5].reshape(-1, 4)[:, :3].tolist()}
     assert len(found) >= 4
+
+
+def test_sub_batching_matches_single_pass():
+    """Batches above the VMEM table capacity split into sub-batches with
+    carried depth; the composite must match a single-pass raster."""
+    import dataclasses
+    from myrenderer_tpu.app.demo import DemoApp
+
+    # force tiny sub-batches through the frame path via a custom config
+    app = DemoApp(width=96, height=128, backend="pallas")
+    app.renderer.raster_cfg = dataclasses.replace(
+        rp.RasterConfig(interpret=True), max_table_rows=4096)
+    fb_small = np.asarray(app.run(1))
+
+    app2 = DemoApp(width=96, height=128, backend="pallas")
+    app2.renderer.raster_cfg = rp.RasterConfig(interpret=True)
+    fb_big = np.asarray(app2.run(1))
+    np.testing.assert_allclose(fb_small, fb_big, atol=5e-4)
