@@ -58,13 +58,13 @@ LANES = rc.FULL_LANES
 
 @dataclass(frozen=True)
 class RasterConfig:
-    tile_h: int = 16
+    tile_h: int = 32
     tile_w: int = 128
     max_tiles_per_tri: int = 8    # bbox tiles before a tri goes "big"
     max_table_rows: int = 32768   # VMEM packed-table capacity per pass
     big_capacity: int = 64        # full-frame triangles per batch
     big_scale: int = 1            # multiplier on big_capacity (adaptive)
-    chunk: int = 64               # triangles per (G, THW) inner step
+    chunk: int = 16               # triangles per (G, THW) inner step
     interpret: bool = False      # Pallas interpreter (CPU testing)
 
 
@@ -151,6 +151,9 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     # big list: indices of 'big' triangles in submission order
     big_order = jnp.where(big, tri_idx, T)
     big_sorted = jnp.sort(big_order, stable=False)
+    if T < B:   # keep the static big-list length at B
+        big_sorted = jnp.concatenate(
+            [big_sorted, jnp.full(B - T, T, jnp.int32)])
     big_count_full = big.sum(dtype=jnp.int32)
     overflow_big = big_count_full > B
     big_count = jnp.minimum(big_count_full, B)
@@ -158,16 +161,29 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     packed = rc.pack_coeffs_full(tc)                   # [T, 32]
     big_rows = packed[big_ids][None]                   # [1, B, 32]
 
+    # per-tile flag: does ANY big triangle's bbox touch the tile? lets
+    # the kernel skip the big loop entirely on untouched tiles
+    slotv = jnp.arange(B, dtype=jnp.int32)
+    big_live = slotv < big_count                       # [B]
+    btx0, btx1 = tx0[big_ids], tx1[big_ids]
+    bty0, bty1 = ty0[big_ids], ty1[big_ids]
+    t_y = tile_range // ntx
+    t_x = tile_range % ntx
+    hit = ((t_x[:, None] >= btx0[None, :]) & (t_x[:, None] <= btx1[None, :])
+           & (t_y[:, None] >= bty0[None, :]) & (t_y[:, None] <= bty1[None, :])
+           & big_live[None, :])                        # [NT, B]
+    big_touch = hit.any(axis=1).astype(jnp.int32)      # [NT]
+
     return entry_ids, starts, counts, packed, big_rows, big_count[None], \
-        overflow_big
+        big_touch, overflow_big
 
 
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _raster_kernel(starts_ref, counts_ref, big_count_ref, entry_ids_hbm,
-                   packed_ref, big_ref, depth_in_ref,
+def _raster_kernel(starts_ref, counts_ref, big_count_ref, big_touch_ref,
+                   entry_ids_hbm, packed_ref, big_ref, depth_in_ref,
                    depth_out_ref, winner_ref, num_ref, den_ref,
                    rows_scratch, ids_scratch, dma_sem,
                    *, tile_h: int, tile_w: int, base_index: int,
@@ -194,7 +210,8 @@ def _raster_kernel(starts_ref, counts_ref, big_count_ref, entry_ids_hbm,
     start = starts_ref[t]
     n = counts_ref[t]
     end = start + n
-    nbig = big_count_ref[0]
+    # skip the shared big-triangle loop on tiles no big bbox touches
+    nbig = jnp.where(big_touch_ref[t] > 0, big_count_ref[0], 0)
 
     def eval_chunk(sub, live, carry):
         """sub: (G, LANES) coefficient rows; live: (G, 1) slot mask."""
@@ -231,7 +248,7 @@ def _raster_kernel(starts_ref, counts_ref, big_count_ref, entry_ids_hbm,
 
     # --- binned triangles: 1024-id windows, chunk sub-loops ------------
     blk0 = lax.div(start, 1024)
-    nblk = lax.div(end + 1023, 1024) - blk0
+    nblk = jnp.where(n > 0, lax.div(end + 1023, 1024) - blk0, 0)
 
     def block_body(b, carry):
         base = (blk0 + b) * 1024
@@ -323,8 +340,8 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
         raise ValueError(f"big capacity ({B}) must be a multiple of "
                          f"chunk ({chunk})")
 
-    entry_ids, starts, counts, packed, big_rows, big_count, ovf_big = \
-        bin_triangles(tc, tri_clip, height, width, cfg)
+    (entry_ids, starts, counts, packed, big_rows, big_count, big_touch,
+     ovf_big) = bin_triangles(tc, tri_clip, height, width, cfg)
 
     depth_p = jnp.pad(depth, ((0, ph - height), (0, pw - width)),
                       constant_values=1.0)
@@ -342,6 +359,7 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),           # starts
             pl.BlockSpec(memory_space=pltpu.SMEM),           # counts
             pl.BlockSpec(memory_space=pltpu.SMEM),           # big count
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # big touch
             pl.BlockSpec(memory_space=pltpu.HBM),            # entry ids
             pl.BlockSpec((packed.shape[0], LANES),
                          lambda ty, tx: (0, 0),
@@ -367,7 +385,8 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=cfg.interpret,
-    )(starts, counts, big_count, entry_ids, packed, big_rows, depth_p)
+    )(starts, counts, big_count, big_touch, entry_ids, packed, big_rows,
+      depth_p)
 
     overflowed = jnp.stack([jnp.zeros((), bool), ovf_big])
     return (depth_out[:height, :width], winner[:height, :width],
