@@ -15,8 +15,6 @@ from __future__ import annotations
 import argparse
 import math
 import time
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

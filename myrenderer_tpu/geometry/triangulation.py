@@ -33,7 +33,6 @@ reference's crypto-seeded order.
 
 from __future__ import annotations
 
-import math
 from typing import Callable, List, Optional, Sequence, Tuple
 
 from .unirand import unirand_seed

@@ -42,8 +42,6 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -16,7 +16,6 @@ and the driver's ``dryrun_multichip`` exercise it.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
@@ -25,7 +24,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import raster_common as rc
-from ..ops import raster_ref
 
 
 def make_mesh(n_devices: int | None = None, rows: int | None = None,

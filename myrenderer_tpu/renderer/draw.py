@@ -26,7 +26,7 @@ reference's is inert, SURVEY.md §2.5).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax
@@ -36,7 +36,6 @@ import numpy as np
 from ..ops import raster_ref
 from ..ops import raster_common as rc
 from ..ops import vertex_stage as vs
-from .instance import Instance
 from .pipeline import Pipeline
 
 

@@ -16,7 +16,7 @@ culling, depth32 write-enabled with a 'less' compare.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional, Sequence, Tuple
 
 # Binding kinds (BindingLayout union, Pipeline.zig:34-55)
