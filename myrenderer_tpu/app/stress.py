@@ -38,13 +38,13 @@ def _instanced_marker_pipeline(rend, grid: int, terrain_size: int):
         # world-space cell center over the terrain footprint
         x = (gx + 0.5) * spacing - 0.1 * terrain_size
         z = (gz + 0.5) * spacing - 0.1 * terrain_size
-        # sample terrain height at the cell center
-        hm = ctx.binding(0)
+        # sample terrain height at the cell center (fused single-element
+        # gather; see VertexCtx.binding_at)
         cell = (jnp.clip((gz * terrain_size / grid).astype(jnp.int32), 0,
                          terrain_size - 1) * terrain_size
                 + jnp.clip((gx * terrain_size / grid).astype(jnp.int32),
                            0, terrain_size - 1))
-        y = 5.0 * hm[cell]
+        y = 5.0 * ctx.binding_at(0, cell)
 
         vi = ctx.vertex_index % 3
         s = spacing * 0.3

@@ -182,7 +182,7 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
 
 def _raster_kernel(starts_ref, counts_ref, big_count_ref, big_touch_ref,
                    entry_ids_hbm, packed_ref, big_ref, depth_in_ref,
-                   depth_out_ref, winner_ref, num_ref, den_ref,
+                   fused_ref, winner_ref,
                    rows_scratch, ids_scratch, dma_sem,
                    *, tile_h: int, tile_w: int, base_index: int,
                    chunk: int):
@@ -296,11 +296,12 @@ def _raster_kernel(starts_ref, counts_ref, big_count_ref, big_touch_ref,
     depth, winner, nums, den = lax.fori_loop(
         0, lax.div(nbig + chunk - 1, chunk), big_chunk, carry)
 
-    depth_out_ref[...] = depth.reshape(tile_h, tile_w)
+    # one fused f32 out block: [0]=depth, [1]=den, [2:6]=varying nums
+    fused_ref[...] = jnp.concatenate(
+        [depth.reshape(1, tile_h, tile_w),
+         den.reshape(1, tile_h, tile_w)]
+        + [nc.reshape(1, tile_h, tile_w) for nc in nums], axis=0)
     winner_ref[...] = winner.reshape(tile_h, tile_w)
-    num_ref[...] = jnp.concatenate(
-        [nc.reshape(1, tile_h, tile_w) for nc in nums], axis=0)
-    den_ref[...] = den.reshape(tile_h, tile_w)
 
 
 def rasterize(tc: rc.TriCoeffs, height: int, width: int,
@@ -350,7 +351,7 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
     tile_spec = pl.BlockSpec((cfg.tile_h, cfg.tile_w),
                              lambda ty, tx: (ty, tx),
                              memory_space=pltpu.VMEM)
-    depth_out, winner, num, den = pl.pallas_call(
+    fused, winner = pl.pallas_call(
         kernel,
         grid=(nty, ntx),
         in_specs=[
@@ -366,16 +367,13 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
                          memory_space=pltpu.VMEM),           # big rows
             tile_spec,                                       # depth in
         ],
-        out_specs=[tile_spec, tile_spec,
-                   pl.BlockSpec((4, cfg.tile_h, cfg.tile_w),
+        out_specs=[pl.BlockSpec((6, cfg.tile_h, cfg.tile_w),
                                 lambda ty, tx: (0, ty, tx),
                                 memory_space=pltpu.VMEM),
                    tile_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
+            jax.ShapeDtypeStruct((6, ph, pw), jnp.float32),
             jax.ShapeDtypeStruct((ph, pw), jnp.int32),
-            jax.ShapeDtypeStruct((4, ph, pw), jnp.float32),
-            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((chunk, LANES), jnp.float32),         # rows
@@ -387,8 +385,9 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
       depth_p)
 
     overflowed = jnp.stack([jnp.zeros((), bool), ovf_big])
-    return (depth_out[:height, :width], winner[:height, :width],
-            num[:, :height, :width], den[:height, :width], overflowed)
+    return (fused[0, :height, :width], winner[:height, :width],
+            fused[2:6, :height, :width], fused[1, :height, :width],
+            overflowed)
 
 
 def rasterize_visibility(tc: rc.TriCoeffs, height: int, width: int,

@@ -99,6 +99,13 @@ class VertexCtx:
         gather into downstream use."""
         return self._bindings[location][self.instance_id]
 
+    def binding_at(self, location: int, index):
+        """Single-element fetch ``binding(location)[index]`` as ONE
+        fused 2-D gather. Prefer this under vmap when the binding is
+        large: chained indexing can materialize a per-vertex copy of the
+        whole row (observed as a V x row_size broadcast = OOM)."""
+        return self._bindings[location][self.instance_id, index]
+
     def binding_stacked(self, location: int):
         """The raw stacked [I, ...] array (for custom gathers)."""
         return self._bindings[location]

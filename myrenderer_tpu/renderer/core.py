@@ -39,6 +39,15 @@ class Window:
     def framebuffer_size(self) -> tuple[int, int]:
         return (self.width, self.height)
 
+    def resize(self, width: int, height: int) -> None:
+        """Resize the render target, reallocating the framebuffer (the
+        swap-chain recreate analogue)."""
+        if (int(width), int(height)) == (self.width, self.height):
+            return
+        self.width, self.height = int(width), int(height)
+        self.framebuffer = jnp.zeros((self.height, self.width, 4),
+                                     jnp.float32)
+
     def read_pixels(self, as_uint8: bool = True) -> np.ndarray:
         fb = np.asarray(self.framebuffer)
         if not as_uint8:

@@ -62,5 +62,13 @@ class Surface:
         stale rebuild signature)."""
         w, h = int(new_size[0]), int(new_size[1])
         if (w, h) != self.dimensions:
-            self.window.width, self.window.height = w, h
+            self.window.resize(w, h)
             self.rebuild()
+
+    def deinit(self) -> None:
+        """``Surface.zig:159-178`` intent (the reference's version
+        switches on nonexistent union variants): drop from the
+        registry; device buffers are GC'd."""
+        if self in self.renderer.surfaces:
+            self.renderer.surfaces.remove(self)
+            self.renderer.bump_scene_version()

@@ -330,3 +330,20 @@ def test_textured_pipeline():
     fb = render_frame(rend, [surf], clear=(0, 0, 1, 1))
     # all three vertices sample texel (0,0) = red
     assert fb[10, 10, 0] > 0.9 and fb[10, 10, 1] < 0.1
+
+
+def test_window_resize():
+    """Surface.resize reallocates the framebuffer and subsequent frames
+    render at the new size (Surface.zig:76-101 intent)."""
+    rend, window = make_renderer(64, 64)
+    pipe, layout = flat_pipeline(rend)
+    node = triangle_node(rend, pipe, layout,
+                         [(0.1, 0.1), (0.9, 0.1), (0.1, 0.9)])
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    fb = render_frame(rend, [surf], clear=(0, 0, 1, 1))
+    assert fb.shape == (64, 64, 4)
+    surf.resize((96, 48))
+    fb2 = render_frame(rend, [surf], clear=(0, 0, 1, 1))
+    assert fb2.shape == (48, 96, 4)
+    assert (fb2[..., 0] > 0.9).any()
