@@ -120,11 +120,25 @@ def main(argv=None):
                     choices=["auto", "oracle", "pallas"])
     ap.add_argument("--time", action="store_true",
                     help="print steady-state ms/frame")
+    ap.add_argument("--dump-dir", default=None,
+                    help="write every frame as frame_%%04d.png")
     args = ap.parse_args(argv)
 
     w, h = (int(v) for v in args.size.split("x"))
     app = DemoApp(width=w, height=h, heightmap=args.heightmap,
                   backend=args.backend)
+
+    if args.dump_dir:
+        import os
+
+        from ..utils.png import save_rgba8
+        os.makedirs(args.dump_dir, exist_ok=True)
+        for i in range(args.frames):
+            app.tick()
+            save_rgba8(os.path.join(args.dump_dir, f"frame_{i:04d}.png"),
+                       app.window.read_pixels())
+        print(f"wrote {args.frames} frames to {args.dump_dir}")
+        return
 
     fb = app.run(1)  # warmup/compile
     if args.time and args.frames > 1:

@@ -59,6 +59,9 @@ class PolygonHandle:
     def get_node(self) -> SceneNode:
         return self.node
 
+    # reference spelling (Polygon.zig:45)
+    getNode = get_node
+
 
 class Polygon:
     """Polygon content module; owns the shared 2D pipeline and a

@@ -177,3 +177,10 @@ def mul_vec(m: np.ndarray, v) -> np.ndarray:
     if v.shape[-1] == 3:
         v = np.concatenate([v, np.ones(v.shape[:-1] + (1,), dtype=_F32)], axis=-1)
     return (np.asarray(m, dtype=_F32) @ v).astype(_F32)
+
+
+# Reference-spelling aliases (math.zig / mach.math names).
+lookAt = look_at
+matMult = mat_mult
+projection2D = projection_2d
+mulVec = mul_vec

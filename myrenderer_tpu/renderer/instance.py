@@ -108,6 +108,9 @@ class Instance:
             node.set_bounding_box(bounding_box_p0, bounding_box_p1)
         return node
 
+    # reference spelling (Instance.zig:81)
+    createNode = create_node
+
     # -- runtime updates (Instance.zig:165-198) ------------------------------
 
     def update_buffer(self, location: int, value, byte_offset: int = 0) -> None:

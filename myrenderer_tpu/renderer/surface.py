@@ -43,6 +43,9 @@ class Surface:
                             base_node: SceneNode) -> "Surface":
         return Surface(renderer, window, base_node)
 
+    # reference spelling (Surface.zig:35)
+    createWindowScene = create_window_scene
+
     def set_perspective(self, perspective) -> None:
         self.perspective_matrix = np.asarray(perspective,
                                              np.float32).reshape(4, 4)

@@ -248,3 +248,26 @@ def test_perspective_correct_interpolation():
     d2, w2, num, den, _ = rp.rasterize(tc, H, W, tri_clip=clip, cfg=CFG)
     varp_p = np.asarray(num)[:, y, x] / np.asarray(den)[y, x]
     np.testing.assert_allclose(varp_p, expect, atol=1e-3)
+
+
+def test_exact_depth_tie_first_submitted_wins():
+    """Two coplanar overlapping triangles at the same z: the 'less'
+    depth test keeps the FIRST submitted (Pipeline.zig:150-154), on both
+    backends."""
+    H, W = 32, 128
+    tri = np.array([[[-0.8, 0.8, 0.5, 1.0],
+                     [0.8, 0.8, 0.5, 1.0],
+                     [-0.8, -0.8, 0.5, 1.0]]], np.float32)
+    clip = jnp.asarray(np.concatenate([tri, tri]))   # identical geometry
+    vary = jnp.asarray(np.stack([
+        np.full((3, 4), [1, 0, 0, 1], np.float32),   # first: red
+        np.full((3, 4), [0, 1, 0, 1], np.float32),   # second: green
+    ]))
+    valid = jnp.ones(2, bool)
+    tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+
+    d_r, w_r = rr.rasterize_visibility(tc, H, W)
+    assert (np.asarray(w_r)[np.asarray(w_r) >= 0] == 0).all(), \
+        "oracle: first submitted must win exact ties"
+    d_p, w_p = rp.rasterize_visibility(tc, H, W, tri_clip=clip, cfg=CFG)
+    np.testing.assert_array_equal(np.asarray(w_r), np.asarray(w_p))
