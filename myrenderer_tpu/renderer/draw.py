@@ -80,21 +80,19 @@ class _FramePlan:
 
 def _build_levels(nodes):
     parents = np.full(len(nodes), -1, np.int32)
-    depth = np.zeros(len(nodes), np.int32)
+    depth = np.full(len(nodes), -1, np.int32)
+
+    def node_depth(n):
+        if depth[n.index] >= 0:
+            return depth[n.index]
+        d = 0 if n.parent is None else node_depth(n.parent) + 1
+        depth[n.index] = d
+        return d
+
     for n in nodes:
         if n.parent is not None:
             parents[n.index] = n.parent.index
-    # nodes are registered before their children can be attached, but
-    # recompute depths generically (parents may be created in any order)
-    changed = True
-    while changed:
-        changed = False
-        for n in nodes:
-            if n.parent is not None:
-                d = depth[n.parent.index] + 1
-                if depth[n.index] != d:
-                    depth[n.index] = d
-                    changed = True
+        node_depth(n)
     levels = []
     for d in range(1, int(depth.max()) + 1 if len(nodes) else 1):
         idxs = np.nonzero(depth == d)[0].astype(np.int32)
