@@ -347,3 +347,14 @@ def test_window_resize():
     fb2 = render_frame(rend, [surf], clear=(0, 0, 1, 1))
     assert fb2.shape == (48, 96, 4)
     assert (fb2[..., 0] > 0.9).any()
+
+
+def test_empty_surface():
+    """A surface whose scene has no drawable instances renders as pure
+    clear color (no zero-sized device ops)."""
+    rend, window = make_renderer()
+    empty = SceneNode.create(rend)
+    surf = Surface.create_window_scene(rend, window, empty)
+    surf.set_perspective(ortho_unit())
+    fb = render_frame(rend, [surf], clear=(0, 0, 1, 1))
+    assert (fb[..., 2] > 0.9).all()
