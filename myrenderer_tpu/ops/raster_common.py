@@ -67,11 +67,14 @@ class TriCoeffs(NamedTuple):
     col_abc: jax.Array  # [T, 3, C] varying numerators: sum_k e_k * col_k
     en_abc: jax.Array   # [T, 3]  varying denominator: sum_k e_k
     valid: jax.Array    # [T] bool
+    zhi: jax.Array      # [T] f32: 0 = invalid; else valid z window is
+                        # [zhi - 1, zhi] (plain surfaces: [0, 1])
 
 
 def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
                    valid: jax.Array, width: int, height: int,
-                   cull_mode: str = "back") -> TriCoeffs:
+                   cull_mode: str = "back",
+                   z_bias: jax.Array | None = None) -> TriCoeffs:
     """Assemble per-triangle linear coefficients.
 
     tri_clip: f32[T, 3, 4] clip positions, tri_vary: f32[T, 3, C]
@@ -81,6 +84,14 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
     Culling reproduces ``Pipeline.zig:145-149``: front face is clockwise
     in framebuffer space; ``cull_mode='back'`` keeps det > 0 only (which
     also drops zero-area degenerates, making zero padding free).
+
+    ``z_bias`` (f32[T], optional) shifts each triangle's NDC depth by a
+    constant (z_clip += bias * w). This is how multiple surfaces merge
+    into ONE raster pass: surface s gets bias 2*(S-1-s), so any covered
+    later-drawn surface beats all earlier ones at every pixel while
+    within-surface depth ordering is unchanged (disjoint biased ranges,
+    1.0 apart). The per-triangle valid window [bias, bias+1] rides in
+    the ``valid`` plane (0 = invalid, else bias+1 = far clip).
     """
     f32 = jnp.float32
     # All math on flat [T] vectors: a [T, 3]-shaped op uses 3 of the
@@ -127,6 +138,12 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
 
     w_ok = (ws[0] > W_EPS) & (ws[1] > W_EPS) & (ws[2] > W_EPS)
     valid = valid & facing_ok & w_ok
+    if z_bias is not None:
+        bias = z_bias.astype(f32)
+        zs = [z + bias * w for z, w in zip(zs, ws)]
+        zhi = jnp.where(valid, bias + 1.0, 0.0)
+    else:
+        zhi = valid.astype(f32)   # window [0, 1]
 
     def plane(vals):
         return jnp.stack([
@@ -151,7 +168,7 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
     c = jnp.stack(cc, axis=1)
     return TriCoeffs(edge_a=a, edge_b=b, edge_c=c, z_abc=z_abc,
                      w_abc=w_abc, col_abc=col_abc, en_abc=en_abc,
-                     valid=valid)
+                     valid=valid, zhi=zhi)
 
 
 def pack_coeffs(tc: TriCoeffs) -> jax.Array:
@@ -163,7 +180,7 @@ def pack_coeffs(tc: TriCoeffs) -> jax.Array:
                    tc.edge_a[:, 2], tc.edge_b[:, 2], tc.edge_c[:, 2]],
                   axis=1),
         tc.z_abc, tc.w_abc,
-        tc.valid.astype(jnp.float32)[:, None],
+        tc.zhi[:, None],
     ], axis=1)
 
 
@@ -209,7 +226,7 @@ def coverage_depth(tc_row_px, px, py):
     This is THE shared decision rule: both rasterizer backends call it.
     """
     (a0, b0, c0, a1, b1, c1, a2, b2, c2,
-     zna, znb, znc, wna, wnb, wnc, validf) = tc_row_px
+     zna, znb, znc, wna, wnb, wnc, zhi) = tc_row_px
     e0 = a0 * px + b0 * py + c0
     e1 = a1 * px + b1 * py + c1
     e2 = a2 * px + b2 * py + c2
@@ -219,7 +236,11 @@ def coverage_depth(tc_row_px, px, py):
     zn = zna * px + znb * py + znc
     wn = wna * px + wnb * py + wnc
     z = zn / wn
-    cov = cov & (wn > 0) & (z >= 0.0) & (validf > 0)
+    # lane 15 ('zhi') doubles as the validity flag (0 = padded/culled)
+    # and the triangle's depth window: z in [zhi - 1, zhi]. For plain
+    # surfaces the window is [0, 1]; for layer-biased merged surfaces
+    # it enforces each layer's near/far clip.
+    cov = cov & (wn > 0) & (z >= zhi - 1.0) & (z <= zhi) & (zhi > 0)
     return cov, z
 
 

@@ -217,7 +217,9 @@ def _raster_kernel(starts_ref, counts_ref, big_count_ref, big_touch_ref,
         scalars = tuple(sub[:, k:k + 1] for k in range(rc.COEFF_LANES))
         cov, z = rc.coverage_depth(scalars, px, py)    # (G, THW)
         cov = cov & live
-        zm = jnp.where(cov, z, jnp.float32(2.0))
+        # sentinel must exceed ANY representable depth (layer-biased
+        # merged passes go beyond 1.0)
+        zm = jnp.where(cov, z, jnp.float32(jnp.inf))
         ids = jnp.broadcast_to(sub[:, 16:17], (chunk, THW))
         zmin = jnp.min(zm, axis=0, keepdims=True)      # (1, THW)
         idmin = jnp.min(jnp.where(zm == zmin, ids, jnp.float32(3e38)),

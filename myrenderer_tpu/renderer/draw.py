@@ -75,6 +75,7 @@ class _FramePlan:
     height: int
     backend: str
     raster_cfg: object = None
+    merged: bool = False
     fn: object = None
 
 
@@ -165,25 +166,35 @@ def _build_batches(surface, renderer):
     return _SurfacePlan(surface_id=surface.id, batches=batches)
 
 
+def _mergeable(plan) -> bool:
+    """Surfaces can be rendered in ONE layer-biased raster pass when the
+    pallas backend is active, only the first surface clears, and every
+    batch shares raster state + fragment function."""
+    if plan.backend != "pallas":
+        return False
+    if any(plan.clear_flags[1:]):
+        return False
+    batches = [b for s in plan.surfaces for b in s.batches]
+    if len(batches) < 2 or len(plan.surfaces) < 2:
+        return False
+    p0 = batches[0].pipeline
+    return all(b.pipeline.fragment_fn is p0.fragment_fn
+               and b.pipeline.cull_mode == p0.cull_mode
+               and b.pipeline.depth_write
+               for b in batches)
+
+
 # --------------------------------------------------------------------------
 # the traced frame function
 # --------------------------------------------------------------------------
 
-def _frame_fn(plan: _FramePlan, args):
-    fb = args["fb"]
-    world = vs.compose_world_transforms(args["locals"], plan.levels,
-                                        plan.parents)
-    H, W = plan.height, plan.width
-    overflow = jnp.zeros((2,), bool)   # (bin rounds, big list)
-
+def _batch_vertex_products(plan, args, world):
+    """Run every surface's vertex stage; yields
+    (s_i, batch, tri_clip, tri_vary, valid) in submission order."""
+    out = []
     for s_i, splan in enumerate(plan.surfaces):
         sargs = args["surfaces"][s_i]
         persp = sargs["persp"]
-
-        if plan.clear_flags[s_i]:
-            fb = jnp.broadcast_to(sargs["clear"], (H, W, 4)).astype(
-                jnp.float32)
-
         # per-node clip matrices + hierarchical conservative visibility
         clip_all = jnp.einsum("ab,nbc->nac", persp, world)
         vis = vs.cull_aabb(clip_all, args["aabb_min"], args["aabb_max"],
@@ -191,13 +202,11 @@ def _frame_fn(plan: _FramePlan, args):
         for idxs in plan.levels:
             vis = vis.at[idxs].set(vis[idxs] & vis[plan.parents[idxs]])
 
-        depth = jnp.full((H, W), 1.0, jnp.float32)
         for b_i, b in enumerate(splan.batches):
             bargs = sargs["batches"][b_i]
             clip_mats = clip_all[b.node_indices]          # [I,4,4]
             inst_vis = vis[b.node_indices]                # [I]
 
-            # packed attribute rows for this batch's vertex stream
             attrs = {}
             if b.attr_offsets:
                 rows = [bargs["vbs"][ordinal][fv:fv + count]
@@ -207,7 +216,8 @@ def _frame_fn(plan: _FramePlan, args):
                 attrs = {name: packed[:, off:off + wdt]
                          for name, (off, wdt) in b.attr_offsets.items()}
 
-            bindings = {loc: jnp.stack(arrs) if len(arrs) > 1 else arrs[0][None]
+            bindings = {loc: jnp.stack(arrs) if len(arrs) > 1
+                        else arrs[0][None]
                         for loc, arrs in bargs["bindings"].items()}
 
             clip, vary = vs.run_vertex_stage(
@@ -220,30 +230,94 @@ def _frame_fn(plan: _FramePlan, args):
             tri_clip = clip.reshape(b.tri_count, 3, 4)
             tri_vary = vary.reshape(b.tri_count, 3, vary.shape[-1])
             tri_iid = jnp.asarray(b.iids[::3])
-            valid = inst_vis[tri_iid]
+            out.append((s_i, b, tri_clip, tri_vary, inst_vis[tri_iid]))
+    return out
 
+
+def _raster_sub_batched(plan, tri_clip, tri_vary, valid, depth, fb,
+                        cull_mode, fragment_fn, overflow, z_bias=None):
+    """Pallas raster + shade, splitting streams beyond the VMEM table
+    capacity into sub-batches with carried depth (later sub-batches win
+    only on strictly-less depth: submission order preserved)."""
+    from ..ops import raster_pallas
+    T = tri_clip.shape[0]
+    cap = plan.raster_cfg.max_table_rows
+    for lo in range(0, max(T, 1), cap):
+        hi = min(lo + cap, T)
+        tc = rc.triangle_setup(
+            tri_clip[lo:hi], tri_vary[lo:hi], valid[lo:hi], plan.width,
+            plan.height, cull_mode,
+            z_bias=None if z_bias is None else z_bias[lo:hi])
+        depth2, winner, num, den, ovf = raster_pallas.rasterize(
+            tc, plan.height, plan.width, depth=depth,
+            tri_clip=tri_clip[lo:hi], cfg=plan.raster_cfg)
+        overflow = overflow | ovf
+        fb = raster_pallas.shade_from_planes(winner, num, den, fb,
+                                             fragment_fn)
+        depth = depth2
+    return depth, fb, overflow
+
+
+def _frame_fn(plan: _FramePlan, args):
+    fb = args["fb"]
+    world = vs.compose_world_transforms(args["locals"], plan.levels,
+                                        plan.parents)
+    H, W = plan.height, plan.width
+    overflow = jnp.zeros((2,), bool)   # (bin rounds, big list)
+
+    if plan.merged:
+        # ONE raster pass for all surfaces: surface s gets depth bias
+        # 2*(S-1-s), so any covered later surface beats all earlier ones
+        # per pixel (the clear-then-load composition semantics of
+        # Draw.zig:23-27) while within-surface depth ordering is intact.
+        if plan.clear_flags[0]:
+            fb = jnp.broadcast_to(args["surfaces"][0]["clear"],
+                                  (H, W, 4)).astype(jnp.float32)
+        products = _batch_vertex_products(plan, args, world)
+        S = len(plan.surfaces)
+        clips, varys, valids, biases = [], [], [], []
+        for s_i, b, tri_clip, tri_vary, valid in products:
+            bias = jnp.float32(2.0 * (S - 1 - s_i))
+            clips.append(tri_clip)
+            varys.append(tri_vary)
+            valids.append(valid)
+            biases.append(jnp.full(tri_clip.shape[0], bias, jnp.float32))
+        tri_clip = jnp.concatenate(clips)
+        tri_vary = jnp.concatenate(varys)
+        valid = jnp.concatenate(valids)
+        z_bias = jnp.concatenate(biases)
+        depth = jnp.full((H, W), 2.0 * (S - 1) + 1.0, jnp.float32)
+        shared = plan.surfaces[0].batches[0].pipeline
+        _depth, fb, overflow = _raster_sub_batched(
+            plan, tri_clip, tri_vary, valid, depth, fb,
+            shared.cull_mode, shared.fragment_fn, overflow,
+            z_bias=z_bias)
+        return fb, overflow
+
+    # sequential per-surface / per-batch path (oracle backend, mixed
+    # raster states, clears after the first surface, ...)
+    products = _batch_vertex_products(plan, args, world)
+    prod_i = 0
+    for s_i, splan in enumerate(plan.surfaces):
+        sargs = args["surfaces"][s_i]
+        if plan.clear_flags[s_i]:
+            fb = jnp.broadcast_to(sargs["clear"], (H, W, 4)).astype(
+                jnp.float32)
+        depth = jnp.full((H, W), 1.0, jnp.float32)
+        for b in splan.batches:
+            _s, _b, tri_clip, tri_vary, valid = products[prod_i]
+            prod_i += 1
             if plan.backend == "pallas":
-                from ..ops import raster_pallas
-                # the kernel keeps its coefficient table VMEM-resident;
-                # larger batches run as sub-batches with carried depth
-                # (later sub-batches win only on strictly-less depth, so
-                # submission-order semantics are preserved)
-                cap = plan.raster_cfg.max_table_rows
-                for lo in range(0, b.tri_count, cap):
-                    hi = min(lo + cap, b.tri_count)
-                    tc = rc.triangle_setup(
-                        tri_clip[lo:hi], tri_vary[lo:hi], valid[lo:hi],
-                        W, H, b.pipeline.cull_mode)
-                    depth2, winner, num, den, ovf = \
-                        raster_pallas.rasterize(
-                            tc, H, W, depth=depth,
-                            tri_clip=tri_clip[lo:hi],
-                            cfg=plan.raster_cfg)
-                    overflow = overflow | ovf
-                    fb = raster_pallas.shade_from_planes(
-                        winner, num, den, fb, b.pipeline.fragment_fn)
-                    if b.pipeline.depth_write:
-                        depth = depth2
+                if b.pipeline.depth_write:
+                    depth, fb, overflow = _raster_sub_batched(
+                        plan, tri_clip, tri_vary, valid, depth, fb,
+                        b.pipeline.cull_mode, b.pipeline.fragment_fn,
+                        overflow)
+                else:
+                    _d, fb, overflow = _raster_sub_batched(
+                        plan, tri_clip, tri_vary, valid, depth, fb,
+                        b.pipeline.cull_mode, b.pipeline.fragment_fn,
+                        overflow)
             else:
                 tc = rc.triangle_setup(tri_clip, tri_vary, valid, W, H,
                                        b.pipeline.cull_mode)
@@ -392,6 +466,7 @@ class Draw:
             clear_flags=tuple(c is not None for _, c in self._items),
             width=window.width, height=window.height, backend=backend,
             raster_cfg=raster_cfg)
+        plan.merged = _mergeable(plan)
         plan.fn = jax.jit(functools.partial(_frame_fn, plan))
         self._program_cache[key] = plan
         return plan
