@@ -456,10 +456,11 @@ class Draw:
 
             from ..ops import raster_pallas
             raster_cfg = getattr(rend, "raster_cfg", None) or \
-                raster_pallas.RasterConfig(
-                    interpret=jax.default_backend() == "cpu")
+                raster_pallas.RasterConfig()
             raster_cfg = dataclasses.replace(
-                raster_cfg, big_scale=self._big_scale)
+                raster_cfg, big_scale=self._big_scale,
+                interpret=(raster_cfg.interpret
+                           or jax.default_backend() == "cpu"))
         plan = _FramePlan(
             n_nodes=len(rend.scene_nodes), parents=parents, levels=levels,
             surfaces=surfaces,
