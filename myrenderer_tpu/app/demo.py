@@ -140,19 +140,23 @@ def main(argv=None):
         print(f"wrote {args.frames} frames to {args.dump_dir}")
         return
 
-    fb = app.run(1)  # warmup/compile
+    app.tick()  # warmup/compile
     if args.time and args.frames > 1:
         import jax
         jax.block_until_ready(app.window.framebuffer)
         t0 = time.perf_counter()
-        fb = app.run(args.frames - 1)
+        n = args.frames - 1
+        for _ in range(n):
+            app.tick()
+        # fence on the device only: fetching pixels would time the
+        # host<->device transfer, not rendering
         jax.block_until_ready(app.window.framebuffer)
         dt = time.perf_counter() - t0
-        n = args.frames - 1
         print(f"{n} frames: {dt * 1000 / n:.3f} ms/frame "
               f"({n / dt:.1f} fps)")
     elif args.frames > 1:
-        fb = app.run(args.frames - 1)
+        for _ in range(args.frames - 1):
+            app.tick()
 
     if args.out:
         from ..utils.png import save_rgba8
