@@ -358,3 +358,51 @@ def test_empty_surface():
     surf.set_perspective(ortho_unit())
     fb = render_frame(rend, [surf], clear=(0, 0, 1, 1))
     assert (fb[..., 2] > 0.9).all()
+
+
+def test_texture_sampler_binding_kind():
+    """texture_sampler bindings carry filtering-parameter arrays the
+    vertex/fragment functions consume explicitly (Pipeline.zig:111
+    declares a 'filtering' sampler; there is no fixed-function sampler
+    on a TPU)."""
+    from myrenderer_tpu.ops.sampling import sample_bilinear
+    from myrenderer_tpu.renderer.pipeline import (TEXTURE_SAMPLER,
+                                                  TEXTURE_VIEW)
+    from myrenderer_tpu import Binding
+
+    rend, window = make_renderer()
+    layout = VertexLayout.create([("pos", 2), ("uv", 2)])
+    tex = np.zeros((2, 2, 4), np.float32)
+    tex[:, :] = [0, 0, 1, 1]
+    tex[0, 0] = [1, 0, 0, 1]
+
+    def vfn(ctx):
+        p = ctx.attr("pos")
+        clip = ctx.world @ jnp.stack([p[0], p[1], jnp.float32(1.0),
+                                      jnp.float32(1.0)])
+        # sampler params: [use_bilinear]
+        use_bilinear = ctx.binding(2)[0] > 0.5
+        col_n = sample_bilinear(ctx.binding(1), ctx.attr("uv"))
+        return clip, col_n
+
+    pipe = Pipeline.create(
+        rend, vertex_fn=vfn,
+        bindings=[BindingLayout(0, BUILTIN_TRANSFORM),
+                  BindingLayout(1, TEXTURE_VIEW),
+                  BindingLayout(2, TEXTURE_SAMPLER)],
+        vertex_layout=layout)
+    vb = VertexBuffer.new(rend, 0, 1, layout)
+    vb.write_vertices(np.array([[0.0, 0.0, 0.25, 0.25],
+                                [1.0, 0.0, 0.25, 0.25],
+                                [0.0, 1.0, 0.25, 0.25]], np.float32))
+    node = Instance.create_node(
+        rend, pipeline=pipe,
+        bindings=[Binding(1, attachment=tex),
+                  Binding(2, attachment=np.array([1.0], np.float32))],
+        bounding_box_p0=(0, 0, 0), bounding_box_p1=(1, 1, 2))
+    node.get_backing().set_vertex_buffer(vb)
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    fb = render_frame(rend, [surf], clear=(0, 1, 0, 1))
+    # uv (0.25, 0.25) == texel (0,0) center: red
+    assert fb[10, 10, 0] > 0.9
