@@ -41,16 +41,19 @@ def make_mesh(n_devices: int | None = None, rows: int | None = None,
 
 
 def sharded_render_step(mesh: Mesh, height: int, width: int,
-                        fragment_fn=None):
+                        fragment_fn=None, return_winner: bool = False):
     """Build a jitted multi-chip render step.
 
     step(tri_clip [T,3,4], tri_vary [T,3,C], valid [T], fb [H,W,4])
-      -> fb [H,W,4]
+      -> fb [H,W,4]   (or (fb, winner i32[H,W]) with ``return_winner``)
 
     Sharding: fb rows over 'rows'; the vertex-stage outputs arrive
     sharded over 'tris' and are all-gathered (ICI) inside; each row
     shard rasterizes its horizontal band of the frame against the full
-    triangle set with a local depth buffer.
+    triangle set with a local depth buffer. ``return_winner`` also
+    returns the per-pixel winning triangle index (-1 = uncovered), the
+    exact-comparison surface for parity tests: winner decisions are
+    deterministic where shaded RGBA can flip by 1 ulp on edges.
     """
     fragment_fn = fragment_fn or (lambda c: c)
     n_rows = mesh.shape["rows"]
@@ -65,9 +68,11 @@ def sharded_render_step(mesh: Mesh, height: int, width: int,
     # check_vma=False: after the 'tris' all-gather every tris-shard
     # computes identical band pixels, so the output is replicated over
     # 'tris' in fact, which the static vma analysis cannot prove.
+    win_spec = P("rows", None)
+
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(tri_spec, tri_spec, tri_spec, fb_spec),
-             out_specs=fb_spec, check_vma=False)
+             out_specs=(fb_spec, win_spec), check_vma=False)
     def step(tri_clip, tri_vary, valid, fb_band):
         # gather the full triangle set onto every shard (ICI all-gather
         # along 'tris'; no-op when tris=1)
@@ -99,7 +104,7 @@ def sharded_render_step(mesh: Mesh, height: int, width: int,
         varp, covered = rc.resolve_varyings(tc, jnp.maximum(winner, 0),
                                             px, py)
         rgba = fragment_fn(varp)
-        return jnp.where((winner >= 0)[..., None], rgba, fb_band)
+        return jnp.where((winner >= 0)[..., None], rgba, fb_band), winner
 
     fb_sharding = NamedSharding(mesh, fb_spec)
     tri_sharding = NamedSharding(mesh, tri_spec)
@@ -108,6 +113,7 @@ def sharded_render_step(mesh: Mesh, height: int, width: int,
     def render(tri_clip, tri_vary, valid, fb):
         tri_clip = jax.lax.with_sharding_constraint(tri_clip, tri_sharding)
         fb = jax.lax.with_sharding_constraint(fb, fb_sharding)
-        return step(tri_clip, tri_vary, valid, fb)
+        out, winner = step(tri_clip, tri_vary, valid, fb)
+        return (out, winner) if return_winner else out
 
     return render

@@ -22,16 +22,21 @@ def test_sharded_matches_single_device(rows, tris):
     fb = jnp.zeros((H, W, 4), jnp.float32)
 
     mesh = make_mesh(8, rows=rows, tris=tris)
-    step = sharded_render_step(mesh, H, W)
-    out = np.asarray(step(clip, vary, valid, fb))
+    step = sharded_render_step(mesh, H, W, return_winner=True)
+    out, winner = step(clip, vary, valid, fb)
+    out, winner = np.asarray(out), np.asarray(winner)
 
     tc = rc.triangle_setup(clip, vary, valid, W, H)
+    _ref_depth, ref_winner = jax.jit(
+        rr.rasterize_visibility, static_argnums=(1, 2))(tc, H, W)
     ref_fb, _ = rr.rasterize(clip, vary, valid, fb,
                              jnp.full((H, W), 1.0, jnp.float32),
                              lambda c: c)
+    # Winner DECISIONS are exact: both sides consume the same
+    # raster_common rules over identical coefficient math.
+    np.testing.assert_array_equal(winner, np.asarray(ref_winner))
+    # Shaded RGBA still allows edge-pixel FMA wiggle between programs.
     ref = np.asarray(ref_fb)
-    # Pixels exactly on a triangle edge can flip with the 1-ulp FMA
-    # differences between the two compiled programs; bound the count.
     mismatched = (~np.isclose(out, ref, atol=1e-5)).any(axis=-1)
     assert mismatched.mean() < 1e-3, f"{mismatched.sum()} pixels differ"
 
