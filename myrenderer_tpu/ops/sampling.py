@@ -35,10 +35,13 @@ def sample_bilinear(tex, uv):
     y0 = jnp.floor(fy)
     tx = (fx - x0)[..., None]
     ty = (fy - y0)[..., None]
+    # clamp-to-edge: x1 comes from the UNCLAMPED floor (clamping first
+    # would blend texels 0 and 1 at the left/top borders: at u=0 the
+    # correct result is texel 0 exactly, tx weighting a duplicate of it)
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
     t00 = tex[y0i, x0i]
     t01 = tex[y0i, x1i]
     t10 = tex[y1i, x0i]

@@ -68,6 +68,20 @@ def cull_aabb(clip_mats: jax.Array, aabb_min: jax.Array,
     return jnp.where(finite, ~outside, True)
 
 
+def bitcast_u32(x: jax.Array) -> jax.Array:
+    """Reinterpret f32 bits as u32 — how vertex/fragment functions read
+    integer struct fields out of managed bindings (the analogue of a
+    WGSL ``u32`` uniform member, e.g. ``Terrain.zig:56`` ``size: u32``).
+    Bit-exact: managed stores stage integer payloads as raw bits."""
+    return jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.float32),
+                                        jnp.uint32)
+
+
+def bitcast_f32(x: jax.Array) -> jax.Array:
+    """Inverse of :func:`bitcast_u32`."""
+    return jax.lax.bitcast_convert_type(jnp.asarray(x), jnp.float32)
+
+
 class VertexCtx:
     """Per-vertex inputs handed to a pipeline's vertex function (the
     analogue of WGSL @builtin/@location inputs + bind groups).

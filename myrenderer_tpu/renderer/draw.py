@@ -195,12 +195,15 @@ def _batch_vertex_products(plan, args, world):
     for s_i, splan in enumerate(plan.surfaces):
         sargs = args["surfaces"][s_i]
         persp = sargs["persp"]
-        # per-node clip matrices + hierarchical conservative visibility
+        # per-node clip matrices + conservative visibility. Each node is
+        # tested against its OWN box under its OWN composed transform
+        # only: AND-ing in ancestor visibility would be unsound, because
+        # add_child unions child boxes in parent-LOCAL space
+        # (SceneNode.zig:54-65 semantics) — a child later moved by
+        # set_xform can be visible outside its parent's stale box.
         clip_all = jnp.einsum("ab,nbc->nac", persp, world)
         vis = vs.cull_aabb(clip_all, args["aabb_min"], args["aabb_max"],
                            args["finite"])
-        for idxs in plan.levels:
-            vis = vis.at[idxs].set(vis[idxs] & vis[plan.parents[idxs]])
 
         for b_i, b in enumerate(splan.batches):
             bargs = sargs["batches"][b_i]
@@ -342,6 +345,7 @@ class Draw:
         self._program_cache: dict = {}
         self._big_scale = 1     # bumped when the big list overflows
         self._frames_since_rebuild = 0
+        self._pending_overflow = None   # last frame's flag, async-copied
         self._locals_buf = None
         self._bounds_cache = None
         self._bounds_cache_key = None
@@ -388,22 +392,34 @@ class Draw:
         plan = self._get_plan(window)
         args = self._gather_args(plan, window)
         fb, overflow = plan.fn(args)
-        # Adaptive capacity: if a batch overflowed its bins, rebuild with
-        # doubled rounds and re-render. The device->host sync only
-        # happens for the first few frames after a (re)build; steady
-        # state stays fully asynchronous.
-        if (plan.raster_cfg is not None
-                and self._frames_since_rebuild < 3
-                and self._big_scale < 256):
-            self._frames_since_rebuild += 1
-            ovf = np.asarray(overflow)
-            while ovf.any() and self._big_scale < 256:
+        # Adaptive capacity: if a batch overflowed its big-triangle list,
+        # rebuild with doubled capacity and re-render. Right after a
+        # (re)build the flag is checked synchronously (host sync) so
+        # startup never publishes a dropped-triangle frame; in steady
+        # state EVERY frame's flag is still checked, but asynchronously —
+        # the device->host copy of the 2-bool flag overlaps the next
+        # frame and is acted on one frame later (one frame of drops, then
+        # rebuild — never a silent steady-state drop).
+        if plan.raster_cfg is not None and self._big_scale < 256:
+            if self._frames_since_rebuild < 3:
+                self._frames_since_rebuild += 1
+                need_rebuild = np.asarray(overflow).any()
+            else:
+                prev = self._pending_overflow
+                need_rebuild = (prev is not None
+                                and np.asarray(prev).any())
+            while need_rebuild and self._big_scale < 256:
                 self._big_scale *= 2
-                self._frames_since_rebuild = 0
                 self._program_cache.clear()
                 plan = self._get_plan(window)
                 fb, overflow = plan.fn(args)
-                ovf = np.asarray(overflow)
+                self._frames_since_rebuild = 1
+                need_rebuild = np.asarray(overflow).any()
+            try:  # start the async copy for next frame's check
+                overflow.copy_to_host_async()
+            except Exception:
+                pass
+            self._pending_overflow = overflow
         self.last_overflow = overflow
         window.framebuffer = fb
         if rend.collect_stats:
@@ -443,6 +459,9 @@ class Draw:
         if plan is not None:
             return plan
 
+        # a new plan re-arms the synchronous overflow-check window
+        self._frames_since_rebuild = 0
+        self._pending_overflow = None
         parents, levels = _build_levels(rend.scene_nodes)
         surfaces = []
         for s, _ in self._items:

@@ -42,19 +42,45 @@ class Binding:
 
 
 class _ManagedStore:
-    """Flat f32 staging for one managed binding (byte-addressed writes,
-    like queue.writeBuffer at Instance.zig:185)."""
+    """Flat 32-bit-word staging for one managed binding (byte-addressed
+    writes, like queue.writeBuffer at Instance.zig:185).
+
+    Words are stored as raw bit patterns (u32) so arbitrary struct
+    payloads round-trip exactly, like the reference's untyped byte
+    buffer (``Instance.zig:165-187``): float payloads land as their f32
+    bits, integer/bytes payloads as their own bits. The device array is
+    an f32 *view* of those bits — float fields read naturally; integer
+    fields are recovered bit-exactly with ``bitcast_u32`` in the vertex
+    function (no arithmetic touches them, so no NaN/denormal hazard).
+    """
 
     def __init__(self, size_bytes: int):
         if size_bytes % 4:
             raise ValueError("binding size must be a multiple of 4 bytes")
-        self.host = np.zeros(size_bytes // 4, np.float32)
+        self.host = np.zeros(size_bytes // 4, np.uint32)
         self.version = 0
         self._device = None
         self._device_version = -1
 
     def write(self, byte_offset: int, value) -> None:
-        flat = np.asarray(value, np.float32).reshape(-1)
+        if isinstance(value, (bytes, bytearray, memoryview)):
+            raw = np.frombuffer(bytes(value), np.uint8)
+            if raw.size % 4:
+                raise ValueError(
+                    "raw byte payload must be a multiple of 4 bytes")
+            flat = raw.view(np.uint32)
+        else:
+            arr = np.asarray(value)
+            if arr.dtype.kind in "ui":
+                # integer payload: store the 32-bit two's-complement bits
+                if arr.dtype.itemsize != 4:
+                    arr = arr.astype(np.int64).astype(np.uint32)
+                flat = arr.reshape(-1).view(np.uint32)
+            elif arr.dtype.kind == "f":
+                flat = arr.astype(np.float32).reshape(-1).view(np.uint32)
+            else:
+                raise TypeError(
+                    f"unsupported update_buffer payload dtype {arr.dtype}")
         if byte_offset % 4:
             raise ValueError("byte offset must be 4-aligned")
         start = byte_offset // 4
@@ -65,7 +91,7 @@ class _ManagedStore:
 
     def device_array(self):
         if self._device_version != self.version:
-            self._device = jnp.asarray(self.host)
+            self._device = jnp.asarray(self.host.view(np.float32))
             self._device_version = self.version
         return self._device
 
@@ -114,9 +140,12 @@ class Instance:
     # -- runtime updates (Instance.zig:165-198) ------------------------------
 
     def update_buffer(self, location: int, value, byte_offset: int = 0) -> None:
-        """Write into a managed binding's storage. f32 payloads only —
-        integers the shader needs (e.g. the terrain's size field) are
-        stored as their float value and cast in the vertex function."""
+        """Write into a managed binding's storage, byte-addressed like
+        the reference's untyped ``queue.writeBuffer``
+        (``Instance.zig:165-187``). Payloads may be float arrays/scalars
+        (stored as f32), integer arrays/scalars (stored as their 32-bit
+        bits — read back with ``vertex_stage.bitcast_u32``), or raw
+        ``bytes`` (multiple of 4)."""
         if location not in self.stores:
             raise ValueError(f"location {location} is not a managed binding")
         self.stores[location].write(byte_offset, value)

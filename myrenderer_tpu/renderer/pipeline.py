@@ -125,6 +125,14 @@ class Pipeline:
         per-vertex program; ``vertex_batch_fn``, when given, is an
         equivalent whole-stream formulation used by the performance
         path (dense mesh-shader style; must produce identical output).
+
+        ``depth_write=False`` (an extension — the reference has no such
+        option, ``Pipeline.zig:150-154`` is write-on) documents one
+        deviation from GPU fixed-function semantics: triangles within a
+        depth_write=False batch are still depth-tested against EACH
+        OTHER (the nearest passing triangle wins), whereas real hardware
+        tests every fragment against the unchanged depth buffer only, so
+        the LAST passing draw wins. Both backends deviate consistently.
         """
         if front_face != "cw":
             raise NotImplementedError(

@@ -32,8 +32,9 @@ def test_terrain_node_structure():
     assert not inst.vertex_buffer.has_buffer               # procedural
     np.testing.assert_allclose(node.bounding_box_p0, [-1.6, 0.0, -1.6])
     np.testing.assert_allclose(node.bounding_box_p1, [1.6, 5.0, 1.6])
-    # uniform: identity xform + size
-    u = inst.stores[0].host
+    # uniform: identity xform + size (staging holds raw bits; floats
+    # are read back through an f32 view)
+    u = inst.stores[0].host.view(np.float32)
     np.testing.assert_array_equal(u[:16].reshape(4, 4), np.eye(4))
     assert u[16] == 16.0
 

@@ -219,6 +219,89 @@ def test_culled_when_behind_camera():
     assert (fb[..., 2] > 0.9).all()
 
 
+def test_moved_child_outside_parent_box_still_renders():
+    """Hierarchical ancestor-AND culling is unsound and must not exist:
+    add_child unions the child box in parent-LOCAL space
+    (SceneNode.zig:54-65), so a child moved on-screen by set_xform can
+    be visible while its parent's stale box is entirely off-screen.
+    cull_aabb's contract: never cull visible geometry."""
+    rend, window = make_renderer()
+    pipe, layout = flat_pipeline(rend)
+    # child geometry lives far off-screen in local space...
+    child = triangle_node(rend, pipe, layout,
+                          [(5.1, 5.1), (5.9, 5.1), (5.1, 5.9)])
+    # ...so the parent's unioned AABB (finite!) is also off-screen
+    root = SceneNode.create(rend)
+    root.set_bounding_box((4.0, 4.0, 0.0), (7.0, 7.0, 2.0))
+    root.add_child(child)
+    assert root.has_finite_aabb
+    # ...but the child's own transform brings it back on-screen
+    child.set_xform(math3d.translate((-5.0, -5.0, 0.0)))
+    surf = Surface.create_window_scene(rend, window, root)
+    surf.set_perspective(ortho_unit())
+    fb = render_frame(rend, [surf], clear=(0, 0, 1, 1))
+    red = (fb[..., 0] > 0.9) & (fb[..., 2] < 0.1)
+    assert red.any(), "visible child was culled by its parent's stale box"
+    assert red[int(0.3 * 64), int(0.3 * 64)]
+
+
+def test_late_big_list_overflow_triggers_rebuild():
+    """Big-list overflow first occurring AFTER the 3-frame synchronous
+    window must still bump capacity (async flag checked every frame, one
+    frame later) — no silent steady-state triangle drops."""
+    from myrenderer_tpu.ops.raster_pallas import RasterConfig
+
+    cfg = RasterConfig(tile_h=8, tile_w=128, max_tiles_per_tri=1,
+                       big_capacity=4, chunk=4, interpret=True)
+
+    def build(xform=None):
+        rend, window = make_renderer(64, 64, backend="pallas")
+        rend.raster_cfg = cfg
+        pipe, layout = flat_pipeline(rend)
+        # 8 thin triangles inside the first 8px tile row (span = 1 tile)
+        pts = []
+        for i in range(8):
+            x = 0.05 + 0.11 * i
+            pts += [(x, 0.02), (x + 0.08, 0.02), (x, 0.1)]
+        node = triangle_node(rend, pipe, layout, pts)
+        if xform is not None:
+            node.set_xform(xform)
+        surf = Surface.create_window_scene(rend, window, node)
+        surf.set_perspective(ortho_unit())
+        return rend, surf, node, Draw.create(rend)
+
+    tall = math3d.scale((1.0, 8.0, 1.0))   # every triangle spans >1 tile
+    rend, surf, node, draw = build()
+
+    def frame():
+        draw.begin()
+        draw.clear((0, 0, 1, 1))
+        draw.draw_surface(surf)
+        fb = draw.end()
+        rend.update()
+        return np.asarray(fb)
+
+    for _ in range(4):
+        frame()
+    assert draw._big_scale == 1
+    # frame 5: camera-style change makes all 8 triangles 'big' (> cap 4)
+    node.set_xform(tall)
+    frame()                      # one frame of drops is allowed...
+    assert np.asarray(draw.last_overflow).any()
+    fb6 = frame()                # ...then the async flag forces a bump
+    assert draw._big_scale >= 2, "late overflow never bumped capacity"
+    assert not np.asarray(draw.last_overflow).any()
+
+    # the post-bump frame matches a fresh render of the same scene
+    # (whose first-frame sync window bumps immediately)
+    rend2, surf2, _node2, draw2 = build(xform=tall)
+    draw2.begin()
+    draw2.clear((0, 0, 1, 1))
+    draw2.draw_surface(surf2)
+    ref = np.asarray(draw2.end())
+    np.testing.assert_array_equal(fb6, ref)
+
+
 def test_frame_program_cache_reuse():
     rend, window = make_renderer()
     pipe, layout = flat_pipeline(rend)
@@ -332,6 +415,63 @@ def test_textured_pipeline():
     assert fb[10, 10, 0] > 0.9 and fb[10, 10, 1] < 0.1
 
 
+def test_u32_binding_roundtrip():
+    """Integer uniform fields round-trip bit-exactly through
+    update_buffer, like the reference's untyped struct writes
+    (Instance.zig:165-187, Terrain.zig:56 'size: u32'). Mixes f32 and
+    u32 words in ONE managed binding, including a non-canonical NaN bit
+    pattern, plus a raw-bytes write."""
+    import struct
+
+    from myrenderer_tpu.ops.vertex_stage import bitcast_u32
+    from myrenderer_tpu.renderer.pipeline import UNMANAGED_BUFFER
+    from myrenderer_tpu import Binding
+
+    rend, window = make_renderer()
+    layout = VertexLayout.create([("pos", 2)])
+    weird = np.uint32(0xFFC00123)   # NaN payload bits if read as f32
+
+    def vfn(ctx):
+        p = ctx.attr("pos")
+        clip = ctx.world @ jnp.stack([p[0], p[1], jnp.float32(1.0),
+                                      jnp.float32(1.0)])
+        buf = ctx.binding(1)
+        scale = buf[0]                          # f32 word
+        sel = bitcast_u32(buf[1])               # u32 word
+        nanbits = bitcast_u32(buf[2])           # NaN-pattern u32 word
+        rawv = bitcast_u32(buf[3])              # raw-bytes u32 word
+        ok = ((sel == jnp.uint32(7))
+              & (nanbits == jnp.uint32(0xFFC00123))
+              & (rawv == jnp.uint32(0xDEADBEEF)))
+        g = jnp.where(ok, scale, jnp.float32(0.0))
+        return clip, jnp.stack([jnp.float32(0.0), g, jnp.float32(0.0),
+                                jnp.float32(1.0)])
+
+    pipe = Pipeline.create(
+        rend, vertex_fn=vfn,
+        bindings=[BindingLayout(0, BUILTIN_TRANSFORM),
+                  BindingLayout(1, UNMANAGED_BUFFER)],
+        vertex_layout=layout)
+    vb = VertexBuffer.new(rend, 0, 1, layout)
+    vb.write_vertices(np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+                               np.float32))
+    node = Instance.create_node(
+        rend, pipeline=pipe, bindings=[Binding(1, size=16)],
+        bounding_box_p0=(0, 0, 0), bounding_box_p1=(1, 1, 2))
+    inst = node.get_backing()
+    inst.update_buffer(1, np.float32(0.75))                # word 0: f32
+    inst.update_buffer(1, np.uint32(7), byte_offset=4)     # word 1: u32
+    inst.update_buffer(1, weird, byte_offset=8)            # word 2: NaN bits
+    inst.update_buffer(1, struct.pack("<I", 0xDEADBEEF),
+                       byte_offset=12)                     # word 3: bytes
+    inst.set_vertex_buffer(vb)
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    fb = render_frame(rend, [surf], clear=(0, 0, 1, 1))
+    np.testing.assert_allclose(fb[10, 10], [0.0, 0.75, 0.0, 1.0],
+                               atol=1e-6)
+
+
 def test_window_resize():
     """Surface.resize reallocates the framebuffer and subsequent frames
     render at the new size (Surface.zig:76-101 intent)."""
@@ -360,12 +500,14 @@ def test_empty_surface():
     assert (fb[..., 2] > 0.9).all()
 
 
-def test_texture_sampler_binding_kind():
+@pytest.mark.parametrize("use_bilinear", [0.0, 1.0])
+def test_texture_sampler_binding_kind(use_bilinear):
     """texture_sampler bindings carry filtering-parameter arrays the
     vertex/fragment functions consume explicitly (Pipeline.zig:111
     declares a 'filtering' sampler; there is no fixed-function sampler
-    on a TPU)."""
-    from myrenderer_tpu.ops.sampling import sample_bilinear
+    on a TPU). The sampled uv sits where nearest and bilinear disagree,
+    so a regression in sampler-parameter plumbing fails one case."""
+    from myrenderer_tpu.ops.sampling import sample_bilinear, sample_nearest
     from myrenderer_tpu.renderer.pipeline import (TEXTURE_SAMPLER,
                                                   TEXTURE_VIEW)
     from myrenderer_tpu import Binding
@@ -380,10 +522,12 @@ def test_texture_sampler_binding_kind():
         p = ctx.attr("pos")
         clip = ctx.world @ jnp.stack([p[0], p[1], jnp.float32(1.0),
                                       jnp.float32(1.0)])
-        # sampler params: [use_bilinear]
-        use_bilinear = ctx.binding(2)[0] > 0.5
-        col_n = sample_bilinear(ctx.binding(1), ctx.attr("uv"))
-        return clip, col_n
+        # sampler params: [use_bilinear] — selects the filter
+        bilinear = ctx.binding(2)[0] > 0.5
+        col = jnp.where(bilinear,
+                        sample_bilinear(ctx.binding(1), ctx.attr("uv")),
+                        sample_nearest(ctx.binding(1), ctx.attr("uv")))
+        return clip, col
 
     pipe = Pipeline.create(
         rend, vertex_fn=vfn,
@@ -392,17 +536,24 @@ def test_texture_sampler_binding_kind():
                   BindingLayout(2, TEXTURE_SAMPLER)],
         vertex_layout=layout)
     vb = VertexBuffer.new(rend, 0, 1, layout)
-    vb.write_vertices(np.array([[0.0, 0.0, 0.25, 0.25],
-                                [1.0, 0.0, 0.25, 0.25],
-                                [0.0, 1.0, 0.25, 0.25]], np.float32))
+    # uv (0.5, 0.5): texture center. nearest -> texel (1,1) = blue;
+    # bilinear -> average of all four texels = (0.25, 0, 0.75, 1)
+    vb.write_vertices(np.array([[0.0, 0.0, 0.5, 0.5],
+                                [1.0, 0.0, 0.5, 0.5],
+                                [0.0, 1.0, 0.5, 0.5]], np.float32))
     node = Instance.create_node(
         rend, pipeline=pipe,
         bindings=[Binding(1, attachment=tex),
-                  Binding(2, attachment=np.array([1.0], np.float32))],
+                  Binding(2, attachment=np.array([use_bilinear],
+                                                 np.float32))],
         bounding_box_p0=(0, 0, 0), bounding_box_p1=(1, 1, 2))
     node.get_backing().set_vertex_buffer(vb)
     surf = Surface.create_window_scene(rend, window, node)
     surf.set_perspective(ortho_unit())
     fb = render_frame(rend, [surf], clear=(0, 1, 0, 1))
-    # uv (0.25, 0.25) == texel (0,0) center: red
-    assert fb[10, 10, 0] > 0.9
+    if use_bilinear:
+        np.testing.assert_allclose(fb[10, 10], [0.25, 0.0, 0.75, 1.0],
+                                   atol=1e-5)
+    else:
+        np.testing.assert_allclose(fb[10, 10], [0.0, 0.0, 1.0, 1.0],
+                                   atol=1e-5)
