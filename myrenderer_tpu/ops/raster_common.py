@@ -50,6 +50,12 @@ import jax.numpy as jnp
 # Minimum clip-space w for a triangle to be rasterized.
 W_EPS = 1e-6
 
+# Target w of vertices emitted by the near/eye-plane clipper: safely
+# above W_EPS so clipped triangles always pass triangle_setup's w_ok
+# despite f32 roundoff in the lerp. The sliver between the two planes
+# (< 1e-5 view-space units from the eye) is invisible.
+W_CLIP = 8e-6
+
 # Number of packed f32 lanes per triangle in the coefficient record.
 # Layout (see pack_coeffs): a0,b0,c0, a1,b1,c1, a2,b2,c2, zna,znb,znc,
 # wna,wnb,wnc, valid. Color numerators ride separately (resolve pass).
@@ -169,6 +175,104 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
     return TriCoeffs(edge_a=a, edge_b=b, edge_c=c, z_abc=z_abc,
                      w_abc=w_abc, col_abc=col_abc, en_abc=en_abc,
                      valid=valid, zhi=zhi)
+
+
+def _clip_straddlers(tri_clip: jax.Array, tri_vary: jax.Array):
+    """Clip triangles that straddle the eye plane (some w > W_EPS, some
+    <= W_EPS) against w = W_CLIP, Sutherland–Hodgman style. Input
+    [N, 3, 4]/[N, 3, C]; returns two candidate output triangles per
+    input (tri1_clip, tri1_vary, tri2_clip, tri2_vary, valid1, valid2):
+    one inside vertex yields one triangle, two yield a quad fan of two.
+    Winding (and therefore facing) is preserved — the cyclic vertex
+    order of the S-H walk is the input's.
+
+    This reproduces, explicitly, the near-plane clipping the reference
+    gets from fixed-function GPU hardware (``Renderer/Pipeline.zig:
+    137-161``); triangles fully in front still skip this path entirely
+    (the clipless 2DH method needs no clipping for w > 0, see module
+    docstring)."""
+    f32 = jnp.float32
+    w = tri_clip[..., 3]
+    inside = w > W_EPS                               # [N, 3]
+    n_in = inside.sum(-1)                            # [N]
+
+    # rotate vertex order so the pattern is canonical:
+    #   n_in == 1 -> (in, out, out), rotation = inside vertex index
+    #   n_in == 2 -> (out, in, in),  rotation = outside vertex index
+    r = jnp.where(n_in == 1, jnp.argmax(inside, -1),
+                  jnp.argmax(~inside, -1))           # [N]
+    idx = (r[:, None] + jnp.arange(3)) % 3           # [N, 3]
+    v = jnp.take_along_axis(tri_clip, idx[..., None], 1)   # [N, 3, 4]
+    a = jnp.take_along_axis(tri_vary, idx[..., None], 1)   # [N, 3, C]
+
+    def intersect(i, j):
+        wi, wj = v[:, i, 3], v[:, j, 3]
+        t = (f32(W_CLIP) - wi) / (wj - wi)
+        t = jnp.clip(t, 0.0, 1.0)[:, None]
+        return (v[:, i] + t * (v[:, j] - v[:, i]),
+                a[:, i] + t[..., :1] * (a[:, j] - a[:, i]))
+
+    i01c, i01v = intersect(0, 1)   # crossing on edge (rot0, rot1)
+    i20c, i20v = intersect(2, 0)   # crossing on edge (rot2, rot0)
+
+    one_in = (n_in == 1)[:, None, None]
+    # n_in==1: [v0, I01, I20]; n_in==2: quad [I01, v1, v2, I20] fanned
+    tri1_clip = jnp.where(one_in,
+                          jnp.stack([v[:, 0], i01c, i20c], 1),
+                          jnp.stack([i01c, v[:, 1], v[:, 2]], 1))
+    tri1_vary = jnp.where(one_in,
+                          jnp.stack([a[:, 0], i01v, i20v], 1),
+                          jnp.stack([i01v, a[:, 1], a[:, 2]], 1))
+    tri2_clip = jnp.stack([i01c, v[:, 2], i20c], 1)
+    tri2_vary = jnp.stack([i01v, a[:, 2], i20v], 1)
+    valid1 = (n_in == 1) | (n_in == 2)
+    valid2 = n_in == 2
+    return tri1_clip, tri1_vary, tri2_clip, tri2_vary, valid1, valid2
+
+
+def clip_near_capacity(tri_clip: jax.Array, tri_vary: jax.Array,
+                       valid: jax.Array, cap: int,
+                       z_bias: jax.Array | None = None):
+    """Eye-plane clipping stage with a static capacity.
+
+    Gathers up to ``cap`` straddling triangles (any vertex at
+    w <= W_EPS while another is in front — exactly the set
+    triangle_setup's w_ok drops) in submission order, clips each to <= 2
+    triangles, and appends them as 2*cap extra slots. Returns
+    (tri_clip [T+2cap, 3, 4], tri_vary, valid, z_bias | None,
+    overflow bool[]) — ``overflow`` set when more than ``cap``
+    triangles straddle (Draw reacts like big-list overflow: bump and
+    re-render). Appending moves clipped fragments to the end of the
+    submission order; only exact depth ties against later triangles can
+    observe this.
+    """
+    T = tri_clip.shape[0]
+    w = tri_clip[..., 3]
+    some_in = (w > W_EPS).any(-1)
+    some_out = (w <= W_EPS).any(-1)
+    straddle = valid & some_in & some_out
+
+    tri_idx = jnp.arange(T, dtype=jnp.int32)
+    order = jnp.where(straddle, tri_idx, T)
+    sel = jnp.sort(order)
+    if T < cap:
+        sel = jnp.concatenate([sel, jnp.full(cap - T, T, jnp.int32)])
+    sel = sel[:cap]
+    sel_live = sel < T
+    sel = jnp.minimum(sel, max(T - 1, 0))
+    overflow = straddle.sum(dtype=jnp.int32) > cap
+
+    (t1c, t1v, t2c, t2v, v1, v2) = _clip_straddlers(tri_clip[sel],
+                                                    tri_vary[sel])
+    v1 = v1 & sel_live
+    v2 = v2 & sel_live
+    out_clip = jnp.concatenate([tri_clip, t1c, t2c])
+    out_vary = jnp.concatenate([tri_vary, t1v, t2v])
+    out_valid = jnp.concatenate([valid, v1, v2])
+    if z_bias is not None:
+        zb = z_bias[sel]
+        z_bias = jnp.concatenate([z_bias, zb, zb])
+    return out_clip, out_vary, out_valid, z_bias, overflow
 
 
 def pack_coeffs(tc: TriCoeffs) -> jax.Array:

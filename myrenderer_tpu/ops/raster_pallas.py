@@ -61,7 +61,8 @@ class RasterConfig:
     max_tiles_per_tri: int = 8    # bbox tiles before a tri goes "big"
     max_table_rows: int = 32768   # VMEM packed-table capacity per pass
     big_capacity: int = 64        # full-frame triangles per batch
-    big_scale: int = 1            # multiplier on big_capacity (adaptive)
+    big_scale: int = 1            # multiplier on big/clip capacity (adaptive)
+    clip_capacity: int = 16       # eye-plane straddlers clipped per batch
     chunk: int = 16               # triangles per (G, THW) inner step
     interpret: bool = False      # Pallas interpreter (CPU testing)
 

@@ -41,7 +41,8 @@ def make_mesh(n_devices: int | None = None, rows: int | None = None,
 
 
 def sharded_render_step(mesh: Mesh, height: int, width: int,
-                        fragment_fn=None, return_winner: bool = False):
+                        fragment_fn=None, return_winner: bool = False,
+                        clip_capacity: int = 16):
     """Build a jitted multi-chip render step.
 
     step(tri_clip [T,3,4], tri_vary [T,3,C], valid [T], fb [H,W,4])
@@ -79,6 +80,12 @@ def sharded_render_step(mesh: Mesh, height: int, width: int,
         tri_clip = jax.lax.all_gather(tri_clip, "tris", tiled=True)
         tri_vary = jax.lax.all_gather(tri_vary, "tris", tiled=True)
         valid = jax.lax.all_gather(valid, "tris", tiled=True)
+
+        # eye-plane clipping on the gathered (replicated) set: every
+        # shard derives the identical clipped stream. Capacity overflow
+        # is not surfaced here (static cap; raise clip_capacity).
+        tri_clip, tri_vary, valid, _zb, _ovf = rc.clip_near_capacity(
+            tri_clip, tri_vary, valid, clip_capacity)
 
         row = jax.lax.axis_index("rows")
         y0 = row * band

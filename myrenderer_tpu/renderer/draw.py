@@ -237,12 +237,25 @@ def _batch_vertex_products(plan, args, world):
     return out
 
 
+def _clip_near(plan, tri_clip, tri_vary, valid, overflow, z_bias=None):
+    """Eye-plane clipping stage (both backends): straddling triangles
+    are clipped into appended slots; capacity overflow rides overflow
+    lane 2 and triggers the same adaptive bump as the big list."""
+    cap = plan.raster_cfg.clip_capacity * plan.raster_cfg.big_scale
+    tri_clip, tri_vary, valid, z_bias, clip_ovf = rc.clip_near_capacity(
+        tri_clip, tri_vary, valid, cap, z_bias)
+    overflow = overflow.at[2].set(overflow[2] | clip_ovf)
+    return tri_clip, tri_vary, valid, z_bias, overflow
+
+
 def _raster_sub_batched(plan, tri_clip, tri_vary, valid, depth, fb,
                         cull_mode, fragment_fn, overflow, z_bias=None):
     """Pallas raster + shade, splitting streams beyond the VMEM table
     capacity into sub-batches with carried depth (later sub-batches win
     only on strictly-less depth: submission order preserved)."""
     from ..ops import raster_pallas
+    tri_clip, tri_vary, valid, z_bias, overflow = _clip_near(
+        plan, tri_clip, tri_vary, valid, overflow, z_bias)
     T = tri_clip.shape[0]
     cap = plan.raster_cfg.max_table_rows
     for lo in range(0, max(T, 1), cap):
@@ -254,7 +267,7 @@ def _raster_sub_batched(plan, tri_clip, tri_vary, valid, depth, fb,
         depth2, winner, num, den, ovf = raster_pallas.rasterize(
             tc, plan.height, plan.width, depth=depth,
             tri_clip=tri_clip[lo:hi], cfg=plan.raster_cfg)
-        overflow = overflow | ovf
+        overflow = overflow.at[:2].set(overflow[:2] | ovf)
         fb = raster_pallas.shade_from_planes(winner, num, den, fb,
                                              fragment_fn)
         depth = depth2
@@ -266,7 +279,7 @@ def _frame_fn(plan: _FramePlan, args):
     world = vs.compose_world_transforms(args["locals"], plan.levels,
                                         plan.parents)
     H, W = plan.height, plan.width
-    overflow = jnp.zeros((2,), bool)   # (bin rounds, big list)
+    overflow = jnp.zeros((3,), bool)   # (bin rounds, big list, clip list)
 
     if plan.merged:
         # ONE raster pass for all surfaces: surface s gets depth bias
@@ -322,6 +335,8 @@ def _frame_fn(plan: _FramePlan, args):
                         b.pipeline.cull_mode, b.pipeline.fragment_fn,
                         overflow)
             else:
+                tri_clip, tri_vary, valid, _zb, overflow = _clip_near(
+                    plan, tri_clip, tri_vary, valid, overflow)
                 tc = rc.triangle_setup(tri_clip, tri_vary, valid, W, H,
                                        b.pipeline.cull_mode)
                 depth2, winner = raster_ref.rasterize_visibility(
@@ -469,17 +484,17 @@ class Draw:
                 raise ValueError("surface targets a different window")
             s.rebuild()
             surfaces.append(_build_batches(s, rend))
-        raster_cfg = None
-        if backend == "pallas":
-            import dataclasses
+        # every plan (oracle too) carries a raster config: the oracle
+        # path consumes clip_capacity/big_scale for eye-plane clipping
+        import dataclasses
 
-            from ..ops import raster_pallas
-            raster_cfg = getattr(rend, "raster_cfg", None) or \
-                raster_pallas.RasterConfig()
-            raster_cfg = dataclasses.replace(
-                raster_cfg, big_scale=self._big_scale,
-                interpret=(raster_cfg.interpret
-                           or jax.default_backend() == "cpu"))
+        from ..ops import raster_pallas
+        raster_cfg = getattr(rend, "raster_cfg", None) or \
+            raster_pallas.RasterConfig()
+        raster_cfg = dataclasses.replace(
+            raster_cfg, big_scale=self._big_scale,
+            interpret=(raster_cfg.interpret
+                       or jax.default_backend() == "cpu"))
         plan = _FramePlan(
             n_nodes=len(rend.scene_nodes), parents=parents, levels=levels,
             surfaces=surfaces,
