@@ -52,12 +52,14 @@ class DemoApp:
     heightmap: Optional[object] = None      # path, array, or None=generated
     backend: str = "auto"
     fixed_timestep: Optional[float] = 1.0 / 60.0
+    mesh: Optional[object] = None           # multi-chip row-shard mesh
 
     def __post_init__(self):
         self.core = Core(fixed_timestep=self.fixed_timestep)
         self.window = self.core.create_window(self.width, self.height,
                                               "Platypro's Thing")
-        self.renderer = Renderer(self.core, raster_backend=self.backend)
+        self.renderer = Renderer(self.core, raster_backend=self.backend,
+                                 mesh=self.mesh)
         self.renderer.adopt_window(self.window)
 
         terrain_mod = Terrain(self.renderer)

@@ -79,15 +79,25 @@ def _cdiv(a: int, b: int) -> int:
 # ---------------------------------------------------------------------------
 
 def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
-                  width: int, cfg: RasterConfig):
+                  width: int, cfg: RasterConfig, y0=0,
+                  vp_height: int | None = None):
     """CSR-bin triangles to tiles.
 
     Returns (entry_ids i32[E+pad], starts i32[NT], counts i32[NT],
     big_rows f32[1, B, LANES], big_count i32[1], overflow_big bool[]).
     E = max_tiles_per_tri * T is the static entry capacity; every
     triangle-tile incidence with span <= K gets a slot, so binned
-    coverage is exact (no overflow)."""
+    coverage is exact (no overflow).
+
+    ``y0``/``vp_height`` support band rendering (the multi-chip row
+    shards): the viewport transform always uses the FULL frame height
+    ``vp_height``, while the tile grid covers rows [y0, y0 + height).
+    ``y0`` may be a traced scalar (each shard binds its own offset).
+    Triangles outside the band clamp to border tiles and are rejected
+    by the kernel's (global-coordinate) coverage test."""
     T = tri_clip.shape[0]
+    vp_height = height if vp_height is None else vp_height
+    y0 = jnp.asarray(y0, jnp.float32)
     nty = _cdiv(height, cfg.tile_h)
     ntx = _cdiv(width, cfg.tile_w)
     NT = nty * ntx
@@ -95,13 +105,13 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     B = cfg.big_capacity * cfg.big_scale
 
     w = jnp.maximum(tri_clip[..., 3], rc.W_EPS)
-    u = (0.5 * tri_clip[..., 0] / w + 0.5) * width    # [T, 3] pixel x
-    v = (0.5 - 0.5 * tri_clip[..., 1] / w) * height   # [T, 3] pixel y
+    u = (0.5 * tri_clip[..., 0] / w + 0.5) * width       # [T, 3] pixel x
+    v = (0.5 - 0.5 * tri_clip[..., 1] / w) * vp_height   # [T, 3] pixel y
 
     minx = jnp.clip(jnp.floor(u.min(1)), 0, width - 1)
     maxx = jnp.clip(jnp.ceil(u.max(1)), 0, width - 1)
-    miny = jnp.clip(jnp.floor(v.min(1)), 0, height - 1)
-    maxy = jnp.clip(jnp.ceil(v.max(1)), 0, height - 1)
+    miny = jnp.clip(jnp.floor(v.min(1)) - y0, 0, height - 1)
+    maxy = jnp.clip(jnp.ceil(v.max(1)) - y0, 0, height - 1)
 
     tx0 = (minx / cfg.tile_w).astype(jnp.int32)
     tx1 = (maxx / cfg.tile_w).astype(jnp.int32)
@@ -181,9 +191,9 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _raster_kernel(starts_ref, counts_ref, big_count_ref, big_touch_ref,
-                   entry_ids_hbm, packed_ref, big_ref, depth_in_ref,
-                   fused_ref, winner_ref,
+def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
+                   big_touch_ref, entry_ids_hbm, packed_ref, big_ref,
+                   depth_in_ref, fused_ref, winner_ref,
                    rows_scratch, ids_scratch, dma_sem,
                    *, tile_h: int, tile_w: int, base_index: int,
                    chunk: int):
@@ -204,7 +214,10 @@ def _raster_kernel(starts_ref, counts_ref, big_count_ref, big_touch_ref,
 
     flat = lax.broadcasted_iota(jnp.int32, (1, THW), 1)
     px = ((flat % tile_w) + tx * tile_w).astype(jnp.float32) + 0.5
-    py = ((flat // tile_w) + ty * tile_h).astype(jnp.float32) + 0.5
+    # y0: global row of the band's first row (multi-chip row shards);
+    # coverage/depth math always runs in GLOBAL pixel coordinates
+    py = ((flat // tile_w) + ty * tile_h + y0_ref[0]).astype(
+        jnp.float32) + 0.5
 
     start = starts_ref[t]
     n = counts_ref[t]
@@ -311,7 +324,8 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
               depth: jax.Array | None = None,
               base_index: int = 0,
               tri_clip: jax.Array | None = None,
-              cfg: RasterConfig | None = None):
+              cfg: RasterConfig | None = None,
+              y0=0, vp_height: int | None = None):
     """Pallas fused rasterize pass.
 
     Returns (depth f32[H,W], winner i32[H,W], vary_num f32[4,H,W],
@@ -325,6 +339,13 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
     for scenes without exact big-vs-binned depth ties.
 
     ``tri_clip`` (clip positions) is required for binning.
+
+    ``y0``/``vp_height``: render the frame band covering rows
+    [y0, y0 + height) of a ``vp_height``-tall viewport (the multi-chip
+    row-shard path; ``tc`` must come from triangle_setup with the FULL
+    frame height). ``y0`` may be a traced scalar. Band output is
+    bit-identical to the same rows of a full-frame render: per-tile bin
+    contents, chunk grouping and pixel coordinates are all unchanged.
     """
     cfg = cfg or DEFAULT_CONFIG
     if tri_clip is None:
@@ -343,8 +364,10 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
                          f"chunk ({chunk})")
 
     (entry_ids, starts, counts, packed, big_rows, big_count, big_touch,
-     ovf_big) = bin_triangles(tc, tri_clip, height, width, cfg)
+     ovf_big) = bin_triangles(tc, tri_clip, height, width, cfg, y0=y0,
+                              vp_height=vp_height)
 
+    y0_arr = jnp.asarray(y0, jnp.int32).reshape(1)
     depth_p = jnp.pad(depth, ((0, ph - height), (0, pw - width)),
                       constant_values=1.0)
 
@@ -358,6 +381,7 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
         kernel,
         grid=(nty, ntx),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # y0
             pl.BlockSpec(memory_space=pltpu.SMEM),           # starts
             pl.BlockSpec(memory_space=pltpu.SMEM),           # counts
             pl.BlockSpec(memory_space=pltpu.SMEM),           # big count
@@ -384,8 +408,8 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=cfg.interpret,
-    )(starts, counts, big_count, big_touch, entry_ids, packed, big_rows,
-      depth_p)
+    )(y0_arr, starts, counts, big_count, big_touch, entry_ids, packed,
+      big_rows, depth_p)
 
     overflowed = jnp.stack([jnp.zeros((), bool), ovf_big])
     return (fused[0, :height, :width], winner[:height, :width],

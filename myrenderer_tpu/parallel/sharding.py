@@ -42,7 +42,7 @@ def make_mesh(n_devices: int | None = None, rows: int | None = None,
 
 def sharded_render_step(mesh: Mesh, height: int, width: int,
                         fragment_fn=None, return_winner: bool = False,
-                        clip_capacity: int = 16):
+                        clip_capacity: int = 16, raster_cfg=None):
     """Build a jitted multi-chip render step.
 
     step(tri_clip [T,3,4], tri_vary [T,3,C], valid [T], fb [H,W,4])
@@ -55,6 +55,11 @@ def sharded_render_step(mesh: Mesh, height: int, width: int,
     returns the per-pixel winning triangle index (-1 = uncovered), the
     exact-comparison surface for parity tests: winner decisions are
     deterministic where shaded RGBA can flip by 1 ulp on edges.
+
+    ``raster_cfg`` (a ``raster_pallas.RasterConfig``) selects the tiled
+    Pallas kernel per band (the TPU hot path, band output bit-identical
+    to a full-frame kernel render); None keeps the simple per-triangle
+    oracle loop (runs anywhere, no tiling constraints).
     """
     fragment_fn = fragment_fn or (lambda c: c)
     n_rows = mesh.shape["rows"]
@@ -91,11 +96,23 @@ def sharded_render_step(mesh: Mesh, height: int, width: int,
         y0 = row * band
         # rasterize this band: pixel grid offset by the band origin
         tc = rc.triangle_setup(tri_clip, tri_vary, valid, width, height)
+        axes = ("rows", "tris")
+        depth0 = jax.lax.pcast(jnp.full((band, width), 1.0, jnp.float32),
+                               axes, to="varying")
+
+        if raster_cfg is not None:
+            # tiled Pallas kernel over this shard's band (bit-identical
+            # to the same rows of a full-frame kernel render)
+            from ..ops import raster_pallas
+            depth, winner, num, den, _ovf = raster_pallas.rasterize(
+                tc, band, width, depth=depth0, tri_clip=tri_clip,
+                cfg=raster_cfg, y0=y0, vp_height=height)
+            rgba = fragment_fn(jnp.moveaxis(num, 0, -1) / den[..., None])
+            return (jnp.where((winner >= 0)[..., None], rgba, fb_band),
+                    winner)
+
         px, py = rc.pixel_grids(band, width, y0=y0)
         # mark the loop carries as device-varying (shard_map's vma check)
-        axes = ("rows", "tris")
-        depth = jax.lax.pcast(jnp.full((band, width), 1.0, jnp.float32),
-                              axes, to="varying")
         winner = jax.lax.pcast(jnp.full((band, width), -1, jnp.int32),
                                axes, to="varying")
         packed = rc.pack_coeffs(tc)
@@ -107,7 +124,7 @@ def sharded_render_step(mesh: Mesh, height: int, width: int,
             return rc.depth_test_update(cov, z, d, w, t)
 
         depth, winner = jax.lax.fori_loop(0, packed.shape[0], body,
-                                          (depth, winner))
+                                          (depth0, winner))
         varp, covered = rc.resolve_varyings(tc, jnp.maximum(winner, 0),
                                             px, py)
         rgba = fragment_fn(varp)

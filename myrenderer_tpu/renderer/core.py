@@ -95,8 +95,13 @@ class Renderer:
     MAX_COPIES = 4
 
     def __init__(self, core: Optional[Core] = None,
-                 raster_backend: str = "auto"):
+                 raster_backend: str = "auto", mesh=None):
         self.core = core or Core(fixed_timestep=1.0 / 60.0)
+        # multi-chip: a jax.sharding.Mesh with a 'rows' axis. The frame
+        # program rasterizes each horizontal framebuffer band on its own
+        # device (SURVEY.md §5.8 scale-out; the reference is
+        # single-device). Requires the pallas backend.
+        self.mesh = mesh
         self.delta_time = 0.0
         self.elapsed_time = 0.0
         self.frame_counter = 1

@@ -76,6 +76,7 @@ class _FramePlan:
     backend: str
     raster_cfg: object = None
     merged: bool = False
+    mesh: object = None      # jax.sharding.Mesh with a 'rows' axis
     fn: object = None
 
 
@@ -248,16 +249,18 @@ def _clip_near(plan, tri_clip, tri_vary, valid, overflow, z_bias=None):
     return tri_clip, tri_vary, valid, z_bias, overflow
 
 
-def _raster_sub_batched(plan, tri_clip, tri_vary, valid, depth, fb,
-                        cull_mode, fragment_fn, overflow, z_bias=None):
-    """Pallas raster + shade, splitting streams beyond the VMEM table
-    capacity into sub-batches with carried depth (later sub-batches win
-    only on strictly-less depth: submission order preserved)."""
+def _raster_band_core(plan, tri_clip, tri_vary, valid, z_bias,
+                      depth, fb, cull_mode, fragment_fn, y0):
+    """Pallas raster + shade of one horizontal band starting at global
+    row ``y0`` (traced; 0 and band = full frame on a single device),
+    splitting streams beyond the VMEM table capacity into sub-batches
+    with carried depth (later sub-batches win only on strictly-less
+    depth: submission order preserved)."""
     from ..ops import raster_pallas
-    tri_clip, tri_vary, valid, z_bias, overflow = _clip_near(
-        plan, tri_clip, tri_vary, valid, overflow, z_bias)
     T = tri_clip.shape[0]
+    band_h = depth.shape[0]
     cap = plan.raster_cfg.max_table_rows
+    ovf2 = jnp.zeros((2,), bool)
     for lo in range(0, max(T, 1), cap):
         hi = min(lo + cap, T)
         tc = rc.triangle_setup(
@@ -265,13 +268,53 @@ def _raster_sub_batched(plan, tri_clip, tri_vary, valid, depth, fb,
             plan.height, cull_mode,
             z_bias=None if z_bias is None else z_bias[lo:hi])
         depth2, winner, num, den, ovf = raster_pallas.rasterize(
-            tc, plan.height, plan.width, depth=depth,
-            tri_clip=tri_clip[lo:hi], cfg=plan.raster_cfg)
-        overflow = overflow.at[:2].set(overflow[:2] | ovf)
+            tc, band_h, plan.width, depth=depth,
+            tri_clip=tri_clip[lo:hi], cfg=plan.raster_cfg, y0=y0,
+            vp_height=plan.height)
+        ovf2 = ovf2 | ovf
         fb = raster_pallas.shade_from_planes(winner, num, den, fb,
                                              fragment_fn)
         depth = depth2
-    return depth, fb, overflow
+    return depth, fb, ovf2
+
+
+def _raster_sub_batched(plan, tri_clip, tri_vary, valid, depth, fb,
+                        cull_mode, fragment_fn, overflow, z_bias=None):
+    """Eye-plane clip + Pallas raster + shade. With ``plan.mesh`` set,
+    the framebuffer/depth are sharded by pixel rows over the mesh's
+    'rows' axis and each device rasterizes its own band (bit-identical
+    to the same rows of a single-device render; triangles are
+    replicated — rasterization needs no cross-band reduction, so the
+    only collective is the output staying sharded)."""
+    tri_clip, tri_vary, valid, z_bias, overflow = _clip_near(
+        plan, tri_clip, tri_vary, valid, overflow, z_bias)
+    if plan.mesh is None:
+        depth, fb, ovf2 = _raster_band_core(
+            plan, tri_clip, tri_vary, valid, z_bias, depth, fb,
+            cull_mode, fragment_fn, y0=0)
+        return depth, fb, overflow.at[:2].set(overflow[:2] | ovf2)
+
+    from jax.sharding import PartitionSpec as P
+    mesh = plan.mesh
+    band = plan.height // mesh.shape["rows"]
+    if z_bias is None:
+        # a zero bias is decision- and depth-identical to no bias
+        # (z + 0*w == z; zhi == valid); keeps the shard signature static
+        z_bias = jnp.zeros(tri_clip.shape[0], jnp.float32)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("rows"), P("rows")),
+        out_specs=(P("rows"), P("rows"), P("rows")), check_vma=False)
+    def body(tcl, tvr, vld, zb, depth_band, fb_band):
+        y0 = jax.lax.axis_index("rows") * band
+        d, f, o = _raster_band_core(plan, tcl, tvr, vld, zb, depth_band,
+                                    fb_band, cull_mode, fragment_fn, y0)
+        return d, f, o[None]          # [1, 2] -> [n_rows, 2] gathered
+
+    depth, fb, ovf_rows = body(tri_clip, tri_vary, valid, z_bias,
+                               depth, fb)
+    return depth, fb, overflow.at[:2].set(overflow[:2] | ovf_rows.any(0))
 
 
 def _frame_fn(plan: _FramePlan, args):
@@ -495,12 +538,24 @@ class Draw:
             raster_cfg, big_scale=self._big_scale,
             interpret=(raster_cfg.interpret
                        or jax.default_backend() == "cpu"))
+        mesh = getattr(rend, "mesh", None)
+        if mesh is not None:
+            if backend != "pallas":
+                raise ValueError(
+                    "multi-chip rendering (Renderer mesh=...) requires "
+                    "the pallas backend")
+            if "rows" not in mesh.axis_names:
+                raise ValueError("renderer mesh needs a 'rows' axis")
+            if window.height % mesh.shape["rows"]:
+                raise ValueError(
+                    f"window height {window.height} not divisible by "
+                    f"mesh rows {mesh.shape['rows']}")
         plan = _FramePlan(
             n_nodes=len(rend.scene_nodes), parents=parents, levels=levels,
             surfaces=surfaces,
             clear_flags=tuple(c is not None for _, c in self._items),
             width=window.width, height=window.height, backend=backend,
-            raster_cfg=raster_cfg)
+            raster_cfg=raster_cfg, mesh=mesh)
         plan.merged = _mergeable(plan)
         plan.fn = jax.jit(functools.partial(_frame_fn, plan))
         self._program_cache[key] = plan

@@ -13,8 +13,11 @@ from myrenderer_tpu.parallel import make_mesh, sharded_render_step
 from test_raster_pallas import random_triangles
 
 
+@pytest.mark.parametrize("backend", ["oracle", "pallas"])
 @pytest.mark.parametrize("rows,tris", [(8, 1), (4, 2), (2, 4)])
-def test_sharded_matches_single_device(rows, tris):
+def test_sharded_matches_single_device(rows, tris, backend):
+    from test_raster_pallas import CFG
+
     H, W = 16 * rows, 128
     T = 24  # divisible by all tris-axis sizes
     clip, vary = random_triangles(T, seed=3)
@@ -22,7 +25,9 @@ def test_sharded_matches_single_device(rows, tris):
     fb = jnp.zeros((H, W, 4), jnp.float32)
 
     mesh = make_mesh(8, rows=rows, tris=tris)
-    step = sharded_render_step(mesh, H, W, return_winner=True)
+    step = sharded_render_step(
+        mesh, H, W, return_winner=True,
+        raster_cfg=CFG if backend == "pallas" else None)
     out, winner = step(clip, vary, valid, fb)
     out, winner = np.asarray(out), np.asarray(winner)
 
@@ -39,6 +44,35 @@ def test_sharded_matches_single_device(rows, tris):
     ref = np.asarray(ref_fb)
     mismatched = (~np.isclose(out, ref, atol=1e-5)).any(axis=-1)
     assert mismatched.mean() < 1e-3, f"{mismatched.sum()} pixels differ"
+
+
+def test_demo_scene_renders_sharded_end_to_end():
+    """The full App demo scene (terrain + 2 polygon surfaces, orbit
+    camera) rendered through the public API on an 8-row mesh matches the
+    single-device pallas render, and the framebuffer stays sharded."""
+    from myrenderer_tpu.app.demo import DemoApp
+
+    mesh = make_mesh(8, rows=8, tris=1)
+    sharded = DemoApp(width=64, height=64, backend="pallas", mesh=mesh)
+    single = DemoApp(width=64, height=64, backend="pallas")
+    fb_s = sharded.run(2)
+    fb_1 = single.run(2)
+    # bands are bit-identical in the kernel; shading may differ by ~1
+    # ulp between the two compiled programs on edge pixels
+    mismatched = (~np.isclose(fb_s, fb_1, atol=1e-5)).any(axis=-1)
+    assert mismatched.mean() < 1e-3, f"{mismatched.sum()} pixels differ"
+    assert (np.abs(fb_s - fb_1) < 1e-2).all()
+    devs = sharded.window.framebuffer.sharding.device_set
+    assert len(devs) == 8, "frame must stay row-sharded across devices"
+
+
+def test_mesh_requires_divisible_height():
+    from myrenderer_tpu.app.demo import DemoApp
+
+    mesh = make_mesh(8, rows=8, tris=1)
+    app = DemoApp(width=64, height=60, backend="pallas", mesh=mesh)
+    with pytest.raises(ValueError, match="not divisible"):
+        app.tick()
 
 
 def test_framebuffer_is_sharded():

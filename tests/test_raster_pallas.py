@@ -103,6 +103,31 @@ def test_big_triangle_path():
     assert_depth_close(d_ref, d_pal)
 
 
+def test_band_rendering_matches_full_frame():
+    """Band mode (y0/vp_height — the multi-chip row-shard path) must be
+    bit-identical to the same rows of a full-frame render: per-tile bin
+    contents and pixel coordinates are unchanged."""
+    H, W = 64, 128
+    clip, vary = random_triangles(50, seed=12)
+    valid = jnp.ones(50, bool)
+    tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+
+    d_full, w_full = rp.rasterize_visibility(tc, H, W, tri_clip=clip,
+                                             cfg=CFG)
+    band = 16
+    d_rows, w_rows = [], []
+    for y0 in range(0, H, band):
+        d, w, _n, _dn, _o = rp.rasterize(
+            tc, band, W, tri_clip=clip, cfg=CFG, y0=jnp.int32(y0),
+            vp_height=H)
+        d_rows.append(np.asarray(d))
+        w_rows.append(np.asarray(w))
+    np.testing.assert_array_equal(np.concatenate(w_rows),
+                                  np.asarray(w_full))
+    np.testing.assert_array_equal(np.concatenate(d_rows),
+                                  np.asarray(d_full))
+
+
 def test_overflow_reported():
     """Big-list overflow (the only remaining capacity: CSR bins are
     exact) must be reported."""
