@@ -72,11 +72,6 @@ class StressApp:
         self.window = self.core.create_window(width, height, "stress")
         self.renderer = Renderer(self.core, raster_backend=backend)
         self.renderer.adopt_window(self.window)
-        # megatri tuning: a larger coefficient table means fewer
-        # sub-batch passes over the tile grid (measured best at the
-        # 4K/1M stretch config)
-        from ..ops.raster_pallas import RasterConfig
-        self.renderer.raster_cfg = RasterConfig(max_table_rows=32768)
 
         hm = default_heightmap(terrain_size)
         terrain_mod = Terrain(self.renderer)

@@ -8,27 +8,30 @@ raster/depth hardware the reference drives through ``mach.gpu``
    linear plane coefficients (edges, depth, varyings), packed
    f32[T, 32] with the triangle id as a lane.
 2. **Binning** (XLA): each triangle's pixel AABB is mapped to the tile
-   grid; (tile, triangle) pairs are encoded as ``tile * (T+1) + tri``
-   keys and sorted — within a tile, triangles stay in ascending
-   submission order by construction, which preserves the depth-tie
-   semantics of the reference's 'less' test. The result is a *CSR*
-   structure: one compact sorted entry-id array plus per-tile
-   (start, count) offsets — no per-tile capacity, no bin overflow, no
-   dense slack. Triangles spanning more than ``max_tiles_per_tri``
-   tiles go to a small shared "big" block processed by every tile
-   after its binned triangles (adaptively sized).
+   grid; (tile, triangle) incidences are sorted lexicographically
+   (two-key ``lax.sort`` — no combined-key int32 wall), which keeps
+   triangles within a tile in ascending submission order, preserving
+   the depth-tie semantics of the reference's 'less' test. The result
+   is a *CSR* structure: per-tile (start, count) offsets into one
+   **pre-gathered coefficient-row stream** in HBM (f32[E, 32], rows in
+   bin order) — no per-tile capacity, no bin overflow, no dense slack,
+   and no VMEM-resident table, so ONE kernel pass handles any triangle
+   count. Triangles spanning more than ``max_tiles_per_tri`` tiles go
+   to a small shared "big" block processed by every tile after its
+   binned triangles (adaptively sized).
 3. **Kernel** (Pallas, grid = tile rows x tile cols): each program owns
-   one (tile_h, tile_w) framebuffer tile in VMEM. Per chunk of
-   ``chunk`` triangles it DMAs the chunk's entry ids from HBM into
-   SMEM, assembles their coefficient rows from the VMEM-resident
-   packed table (in-kernel gather — XLA-side row gathers measured 3-6x
-   slower), and evaluates all planes as (G, tile-pixels) outer-product
-   FMAs (single-axis broadcasts, VPU-shaped). The depth resolve is a
-   min-reduction over the chunk with lowest-triangle-id tie-break —
-   exactly the sequential 'less' depth test's semantics, no atomics.
-   Varying interpolation is fused: the winning triangle's varying
-   numerators/denominator are selected by the same mask, so shading
-   needs no per-pixel gathers.
+   one (tile_h, tile_w) framebuffer tile in VMEM. The tile's slice of
+   the row stream is DMAed in ``stream_window``-row windows,
+   double-buffered (window b+1 transfers while window b evaluates; the
+   NEXT tile's first window is prefetched during the current tile's
+   epilogue, hiding the DMA latency that dominates sparse tiles).
+   Each window is evaluated in ``chunk``-row sub-blocks as
+   (G, tile-pixels) outer-product FMAs (single-axis broadcasts,
+   VPU-shaped). The depth resolve is a min-reduction over the chunk
+   with lowest-triangle-id tie-break — exactly the sequential 'less'
+   depth test's semantics, no atomics. Varying interpolation is fused:
+   the winning triangle's varying numerators/denominator are selected
+   by the same mask, so shading needs no per-pixel gathers.
 
 Shading finishes in XLA: one division and the pipeline's fragment
 function over dense [H, W] buffers (``shade_from_planes``).
@@ -59,11 +62,20 @@ class RasterConfig:
     tile_h: int = 32
     tile_w: int = 128
     max_tiles_per_tri: int = 8    # bbox tiles before a tri goes "big"
-    max_table_rows: int = 32768   # VMEM packed-table capacity per pass
-    big_capacity: int = 64        # full-frame triangles per batch
+    big_capacity: int = 256       # span-capacity-exceeding tris per batch
+                                  # (generous: each adaptive big_scale
+                                  # bump is a recompile — a frame hitch
+                                  # worth avoiding; 256 rows is 128KB of
+                                  # VMEM and absorbs the demo's worst
+                                  # camera angle without a bump)
     big_scale: int = 1            # multiplier on big/clip capacity (adaptive)
-    clip_capacity: int = 16       # eye-plane straddlers clipped per batch
-    chunk: int = 16               # triangles per (G, THW) inner step
+    clip_capacity: int = 128      # eye-plane straddlers clipped per batch
+                                  # (the demo orbit peaks at 72
+                                  # straddlers when the camera skims the
+                                  # terrain; overflow = recompile hitch)
+    chunk: int = 64               # entries per inner step (evaluated as
+                                  # 4 lane-blocks of chunk/4 triangles)
+    stream_window: int = 512      # coefficient rows per DMA window
     interpret: bool = False      # Pallas interpreter (CPU testing)
 
 
@@ -75,7 +87,7 @@ def _cdiv(a: int, b: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# binning (XLA): CSR entries
+# binning (XLA): CSR offsets + pre-gathered row stream
 # ---------------------------------------------------------------------------
 
 def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
@@ -83,11 +95,13 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
                   vp_height: int | None = None):
     """CSR-bin triangles to tiles.
 
-    Returns (entry_ids i32[E+pad], starts i32[NT], counts i32[NT],
-    big_rows f32[1, B, LANES], big_count i32[1], overflow_big bool[]).
-    E = max_tiles_per_tri * T is the static entry capacity; every
-    triangle-tile incidence with span <= K gets a slot, so binned
-    coverage is exact (no overflow).
+    Returns (stream f32[S, LANES], starts i32[NT], counts i32[NT],
+    big_rows f32[1, B, LANES], big_count i32[1], big_touch i32[NT],
+    overflow_big bool[]). S = max_tiles_per_tri * T rounded up to a
+    whole number of ``stream_window`` rows; every triangle-tile
+    incidence with span <= K gets a stream row (its packed coefficient
+    record, gathered here so the kernel streams contiguously), so
+    binned coverage is exact (no overflow).
 
     ``y0``/``vp_height`` support band rendering (the multi-chip row
     shards): the viewport transform always uses the FULL frame height
@@ -103,6 +117,7 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     NT = nty * ntx
     K = cfg.max_tiles_per_tri
     B = cfg.big_capacity * cfg.big_scale
+    W = cfg.stream_window
 
     w = jnp.maximum(tri_clip[..., 3], rc.W_EPS)
     u = (0.5 * tri_clip[..., 0] / w + 0.5) * width       # [T, 3] pixel x
@@ -132,30 +147,43 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     live = small[:, None] & (e[None, :] < span[:, None])
     tile = jnp.where(live, tile, NT)                   # NT = invalid bucket
 
-    # keys = tile * (T+1) + tri: per-tile contiguity, ascending
-    # submission order within a tile. int32 bounds the scale:
-    if (NT + 1) * (T + 1) >= 2**31:
-        raise ValueError(
-            f"binning key space overflow: {NT} tiles x {T} triangles; "
-            "raise tile size or split the batch")
+    # sort incidences by (tile, tri): per-tile contiguity, ascending
+    # submission order within a tile; dead incidences (tile == NT) sort
+    # to the tail past every real tile's segment. Fast path: one fused
+    # unique int32 key (measured several x faster than a variadic
+    # two-key sort); fall back to the two-key lexicographic sort only
+    # when the fused key space would overflow int32 (no hard wall).
     tri_idx = jnp.arange(T, dtype=jnp.int32)
-    keys = (tile * (T + 1) + tri_idx[None, :].T).reshape(-1)
-    keys = jnp.sort(keys, stable=False)   # keys are unique
-
+    tile_flat = tile.reshape(-1)
+    tri_flat = jnp.broadcast_to(tri_idx[:, None], (T, K)).reshape(-1)
     tile_range = jnp.arange(NT, dtype=jnp.int32)
-    starts = jnp.searchsorted(keys, tile_range * (T + 1)).astype(jnp.int32)
-    ends = jnp.searchsorted(keys, (tile_range + 1) * (T + 1)).astype(
-        jnp.int32)
+    if (NT + 1) * (T + 1) < 2**31:
+        keys = jnp.sort(tile_flat * (T + 1) + tri_flat, stable=False)
+        starts = jnp.searchsorted(keys, tile_range * (T + 1)).astype(
+            jnp.int32)
+        ends = jnp.searchsorted(keys, (tile_range + 1) * (T + 1)).astype(
+            jnp.int32)
+        tri_sorted = jnp.clip(keys % (T + 1), 0,
+                              max(T - 1, 0)).astype(jnp.int32)
+    else:
+        tile_sorted, tri_sorted = lax.sort((tile_flat, tri_flat),
+                                           num_keys=2)
+        starts = jnp.searchsorted(tile_sorted, tile_range).astype(
+            jnp.int32)
+        ends = jnp.searchsorted(tile_sorted, tile_range + 1).astype(
+            jnp.int32)
     counts = ends - starts                             # [NT], uncapped
 
-    entry_ids = jnp.clip(keys % (T + 1), 0, max(T - 1, 0)).astype(
-        jnp.int32)
-    # pad to a whole number of 1024-id DMA windows (i32 tile granularity)
-    E = entry_ids.shape[0]
-    epad = (-E) % 1024 + 1024
-    entry_ids = jnp.concatenate([entry_ids,
-                                 jnp.zeros(epad, jnp.int32)])
-    entry_ids = entry_ids.reshape(-1, 128)             # [rows, 128]
+    # pre-gather the stream: coefficient rows in bin order, padded to
+    # whole DMA windows (dead tail rows are never inside any tile's
+    # [start, end) segment). Rows are packed 4 entries per 128-lane
+    # stream row: Mosaic requires manual HBM DMA slices to be 128-lane
+    # aligned, so a [S, 32] stream cannot be windowed — [S/4, 128] can.
+    packed = rc.pack_coeffs_full(tc)                   # [T, 32]
+    stream = packed[tri_sorted]                        # [K*T, 32]
+    S = max(_cdiv(stream.shape[0], W), 1) * W
+    stream = jnp.pad(stream, ((0, S - stream.shape[0]), (0, 0)))
+    stream = stream.reshape(S // 4, 4 * LANES)         # [S/4, 128]
 
     # big list: indices of 'big' triangles in submission order
     big_order = jnp.where(big, tri_idx, T)
@@ -167,7 +195,6 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     overflow_big = big_count_full > B
     big_count = jnp.minimum(big_count_full, B)
     big_ids = jnp.clip(big_sorted[:B], 0, max(T - 1, 0)).astype(jnp.int32)
-    packed = rc.pack_coeffs_full(tc)                   # [T, 32]
     big_rows = packed[big_ids][None]                   # [1, B, 32]
 
     # per-tile flag: does ANY big triangle's bbox touch the tile? lets
@@ -183,7 +210,7 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
            & big_live[None, :])                        # [NT, B]
     big_touch = hit.any(axis=1).astype(jnp.int32)      # [NT]
 
-    return entry_ids, starts, counts, packed, big_rows, big_count[None], \
+    return stream, starts, counts, big_rows, big_count[None], \
         big_touch, overflow_big
 
 
@@ -192,23 +219,28 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
 # ---------------------------------------------------------------------------
 
 def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
-                   big_touch_ref, entry_ids_hbm, packed_ref, big_ref,
+                   big_touch_ref, stream_hbm, big_ref,
                    depth_in_ref, fused_ref, winner_ref,
-                   rows_scratch, ids_scratch, dma_sem,
+                   stream_scratch, dma_sems,
                    *, tile_h: int, tile_w: int, base_index: int,
-                   chunk: int):
+                   chunk: int, window: int):
     """One program = one (tile_h, tile_w) framebuffer tile.
 
-    Streams the tile's CSR bin: the id stream is fetched in 1024-id DMA
-    windows (the i32 tile granularity; segments need no alignment — a
-    window may start before the segment), coefficient rows are
-    assembled from the VMEM-resident packed table (in-kernel gather),
-    and everything is evaluated as (G, THW) outer-product FMAs with a
+    Streams the tile's CSR segment of the pre-gathered coefficient-row
+    stream in ``window``-row DMA windows (window boundaries are fixed
+    multiples of ``window`` in the global stream, so transfers are
+    always aligned), double-buffered: window b+1 transfers while window
+    b evaluates, and the tile epilogue prefetches the NEXT tile's first
+    window into the buffer it will look in. Rows are evaluated in
+    ``chunk``-row sub-blocks as (G, THW) outer-product FMAs with a
     min-reduce depth resolve (lowest-id tie-break == submission-order
     'less' semantics; bins are ascending by construction)."""
     THW = tile_h * tile_w
+    G = chunk
+    W = window
     ty = pl.program_id(0)
     tx = pl.program_id(1)
+    nty = pl.num_programs(0)
     ntx = pl.num_programs(1)
     t = ty * ntx + tx
 
@@ -225,16 +257,26 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
     # skip the shared big-triangle loop on tiles no big bbox touches
     nbig = jnp.where(big_touch_ref[t] > 0, big_count_ref[0], 0)
 
-    def eval_chunk(sub, live, carry):
-        """sub: (G, LANES) coefficient rows; live: (G, 1) slot mask."""
+    def eval_block(sub, lane_base, live, carry):
+        """sub: (g, >=lane_base+LANES) coefficient rows — either a
+        (chunk/4, 128) packed stream read (lane_base = 32*block picks
+        the block's entry) or the (g, 32) big-list rows (lane_base = 0).
+        live: (g, 1) slot mask. Single-lane slices at arbitrary static
+        offsets are cheap; sublane concatenation of lane-offset slices
+        is not — hence per-block evaluation instead of unpacking."""
         depth, winner, nums, den = carry
-        scalars = tuple(sub[:, k:k + 1] for k in range(rc.COEFF_LANES))
-        cov, z = rc.coverage_depth(scalars, px, py)    # (G, THW)
+        g = sub.shape[0]
+
+        def lane(k):
+            return sub[:, lane_base + k:lane_base + k + 1]
+
+        scalars = tuple(lane(k) for k in range(rc.COEFF_LANES))
+        cov, z = rc.coverage_depth(scalars, px, py)    # (g, THW)
         cov = cov & live
         # sentinel must exceed ANY representable depth (layer-biased
         # merged passes go beyond 1.0)
         zm = jnp.where(cov, z, jnp.float32(jnp.inf))
-        ids = jnp.broadcast_to(sub[:, 16:17], (chunk, THW))
+        ids = jnp.broadcast_to(lane(16), (g, THW))
         zmin = jnp.min(zm, axis=0, keepdims=True)      # (1, THW)
         idmin = jnp.min(jnp.where(zm == zmin, ids, jnp.float32(3e38)),
                         axis=0, keepdims=True)
@@ -245,8 +287,7 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
         wf = is_win_row.astype(jnp.float32)
 
         def plane(ka, kb, kc):
-            val = (sub[:, ka:ka + 1] * px + sub[:, kb:kb + 1] * py
-                   + sub[:, kc:kc + 1])
+            val = lane(ka) * px + lane(kb) * py + lane(kc)
             return jnp.sum(wf * val, axis=0, keepdims=True)
 
         den_c = plane(17, 18, 19)
@@ -260,41 +301,60 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                       for nc, old in zip(nums_c, nums)),
                 jnp.where(win, den_c, den))
 
-    # --- binned triangles: 1024-id windows, chunk sub-loops ------------
-    blk0 = lax.div(start, 1024)
-    nblk = jnp.where(n > 0, lax.div(end + 1023, 1024) - blk0, 0)
+    # --- binned triangles: double-buffered stream windows ---------------
+    # the stream is 4-entries-per-128-lane-row packed; a window is W
+    # entries = W//4 stream rows
+    PW = W // 4
+    PG = G // 4
+
+    def window_dma(blk, slot):
+        return pltpu.make_async_copy(
+            stream_hbm.at[pl.ds(blk * PW, PW), :],
+            stream_scratch.at[slot], dma_sems.at[slot])
+
+    blk0 = lax.div(start, W)
+    nblk = jnp.where(n > 0, lax.div(end - 1, W) + 1 - blk0, 0)
+
+    # window 0 of the FIRST nonempty tile has no predecessor to prefetch
+    # it; every later tile's window 0 is prefetched by the previous
+    # program's epilogue (below)
+    @pl.when((t == 0) & (nblk > 0))
+    def _():
+        window_dma(blk0, blk0 % 2).start()
+
+    # stream row p, lane block b holds entry 4p + b: block b of a chunk
+    # read covers entries off + 4r + b, r in [0, PG). The min-reduce
+    # winner resolve is order-invariant, so blocks may be evaluated in
+    # any order; only the live mask needs each slot's true position.
+    r_iota = lax.broadcasted_iota(jnp.int32, (PG, 1), 0)
 
     def block_body(b, carry):
-        base = (blk0 + b) * 1024
-        dma = pltpu.make_async_copy(
-            entry_ids_hbm.at[pl.ds((blk0 + b) * 8, 8), :],
-            ids_scratch, dma_sem)
-        dma.start()
-        dma.wait()
-        lo = jnp.maximum(start - base, 0)
-        hi = jnp.minimum(end - base, 1024)
+        blk = blk0 + b
+        slot = lax.rem(blk, 2)
+
+        @pl.when(b + 1 < nblk)
+        def _():
+            window_dma(blk + 1, lax.rem(blk + 1, 2)).start()
+
+        window_dma(blk, slot).wait()
+
+        wbase = blk * W
+        # chunk sub-blocks at fixed window-aligned offsets: boundary
+        # chunks carry dead slots masked by `live` (never read past the
+        # window; G divides W)
+        c0 = lax.div(jnp.maximum(start - wbase, 0), G)
+        c1 = lax.div(jnp.minimum(end - wbase, W) + G - 1, G)
 
         def chunk_body(ci, carry):
-            off = lo + ci * chunk
+            rows = stream_scratch[slot, pl.ds(ci * PG, PG), :]  # (PG,128)
+            base = wbase + ci * G + 4 * r_iota
+            for blk4 in range(4):
+                pos = base + blk4
+                live = (pos >= start) & (pos < end)
+                carry = eval_block(rows, 32 * blk4, live, carry)
+            return carry
 
-            def assemble(g, _):
-                # clamp: the tail chunk's slots may run past the window
-                # (they are masked out of coverage, but the scratch read
-                # must stay in bounds)
-                pos = jnp.minimum(off + g, 1023)
-                idx = ids_scratch[lax.div(pos, 128), lax.rem(pos, 128)]
-                rows_scratch[pl.ds(g, 1), :] = \
-                    packed_ref[pl.ds(idx, 1), :]
-                return 0
-
-            lax.fori_loop(0, chunk, assemble, 0)
-            pos = (lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-                   + base + off)
-            live = pos < end
-            return eval_chunk(rows_scratch[...], live, carry)
-
-        nchunks = lax.div(hi - lo + chunk - 1, chunk)
-        return lax.fori_loop(0, nchunks, chunk_body, carry)
+        return lax.fori_loop(c0, c1, chunk_body, carry)
 
     carry = (depth_in_ref[...].reshape(1, THW),
              jnp.full((1, THW), -1, jnp.int32),
@@ -302,15 +362,32 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
              jnp.ones((1, THW), jnp.float32))
     carry = lax.fori_loop(0, nblk, block_body, carry)
 
+    # epilogue: prefetch the NEXT tile's first window while this tile's
+    # big loop and output writes run (and across the inter-program
+    # boundary). Scratch and semaphores persist across grid steps; the
+    # target buffer parity matches what the next program will wait on.
+    is_last = t + 1 >= nty * ntx
+
+    @pl.when(~is_last)
+    def _():
+        nstart = starts_ref[t + 1]
+        nn = counts_ref[t + 1]
+        nblk0 = lax.div(nstart, W)
+        # always re-transfer, even when the next tile's first window is
+        # the one just used: the next program WILL wait on this
+        # semaphore, so skipping the start would deadlock it
+        @pl.when(nn > 0)
+        def _():
+            window_dma(nblk0, lax.rem(nblk0, 2)).start()
+
     # big triangles after binned ones (ties-only order deviation)
     def big_chunk(ci, carry):
-        sub = big_ref[0, pl.ds(ci * chunk, chunk), :]
-        slot = (lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-                + ci * chunk)
-        return eval_chunk(sub, slot < nbig, carry)
+        sub = big_ref[0, pl.ds(ci * PG, PG), :]
+        slot = r_iota + ci * PG
+        return eval_block(sub, 0, slot < nbig, carry)
 
     depth, winner, nums, den = lax.fori_loop(
-        0, lax.div(nbig + chunk - 1, chunk), big_chunk, carry)
+        0, lax.div(nbig + PG - 1, PG), big_chunk, carry)
 
     # one fused f32 out block: [0]=depth, [1]=den, [2:6]=varying nums
     fused_ref[...] = jnp.concatenate(
@@ -326,7 +403,8 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
               tri_clip: jax.Array | None = None,
               cfg: RasterConfig | None = None,
               y0=0, vp_height: int | None = None):
-    """Pallas fused rasterize pass.
+    """Pallas fused rasterize pass (ONE pass for any triangle count —
+    the coefficient stream lives in HBM, not VMEM).
 
     Returns (depth f32[H,W], winner i32[H,W], vary_num f32[4,H,W],
     vary_den f32[H,W], overflowed bool[2] = (bins, big list); the bins
@@ -353,17 +431,24 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
     if depth is None:
         depth = jnp.full((height, width), 1.0, jnp.float32)
 
-    T = tri_clip.shape[0]
     nty = _cdiv(height, cfg.tile_h)
     ntx = _cdiv(width, cfg.tile_w)
     ph, pw = nty * cfg.tile_h, ntx * cfg.tile_w
     B = cfg.big_capacity * cfg.big_scale
-    chunk = min(cfg.chunk, B)
-    if B % chunk:
+    chunk = min(cfg.chunk, 4 * B)
+    if chunk % 4:
+        raise ValueError(f"chunk ({chunk}) must be a multiple of 4 "
+                         "(stream rows pack 4 entries)")
+    if B % (chunk // 4):
         raise ValueError(f"big capacity ({B}) must be a multiple of "
-                         f"chunk ({chunk})")
+                         f"chunk/4 ({chunk // 4})")
+    W = cfg.stream_window
+    if W % chunk or W % 32:
+        raise ValueError(f"stream_window ({W}) must be a multiple of "
+                         f"chunk ({chunk}) and of 32 (DMA tile "
+                         "alignment of the packed stream)")
 
-    (entry_ids, starts, counts, packed, big_rows, big_count, big_touch,
+    (stream, starts, counts, big_rows, big_count, big_touch,
      ovf_big) = bin_triangles(tc, tri_clip, height, width, cfg, y0=y0,
                               vp_height=vp_height)
 
@@ -373,7 +458,7 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
 
     kernel = functools.partial(_raster_kernel, tile_h=cfg.tile_h,
                                tile_w=cfg.tile_w, base_index=base_index,
-                               chunk=chunk)
+                               chunk=chunk, window=W)
     tile_spec = pl.BlockSpec((cfg.tile_h, cfg.tile_w),
                              lambda ty, tx: (ty, tx),
                              memory_space=pltpu.VMEM)
@@ -386,10 +471,7 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),           # counts
             pl.BlockSpec(memory_space=pltpu.SMEM),           # big count
             pl.BlockSpec(memory_space=pltpu.SMEM),           # big touch
-            pl.BlockSpec(memory_space=pltpu.HBM),            # entry ids
-            pl.BlockSpec((packed.shape[0], LANES),
-                         lambda ty, tx: (0, 0),
-                         memory_space=pltpu.VMEM),           # packed table
+            pl.BlockSpec(memory_space=pltpu.HBM),            # row stream
             pl.BlockSpec((1, B, LANES), lambda ty, tx: (0, 0, 0),
                          memory_space=pltpu.VMEM),           # big rows
             tile_spec,                                       # depth in
@@ -403,12 +485,11 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
             jax.ShapeDtypeStruct((ph, pw), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((chunk, LANES), jnp.float32),         # rows
-            pltpu.SMEM((8, 128), jnp.int32),                 # id window
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, W // 4, 4 * LANES), jnp.float32),  # windows
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=cfg.interpret,
-    )(y0_arr, starts, counts, big_count, big_touch, entry_ids, packed,
+    )(y0_arr, starts, counts, big_count, big_touch, stream,
       big_rows, depth_p)
 
     overflowed = jnp.stack([jnp.zeros((), bool), ovf_big])

@@ -252,30 +252,19 @@ def _clip_near(plan, tri_clip, tri_vary, valid, overflow, z_bias=None):
 def _raster_band_core(plan, tri_clip, tri_vary, valid, z_bias,
                       depth, fb, cull_mode, fragment_fn, y0):
     """Pallas raster + shade of one horizontal band starting at global
-    row ``y0`` (traced; 0 and band = full frame on a single device),
-    splitting streams beyond the VMEM table capacity into sub-batches
-    with carried depth (later sub-batches win only on strictly-less
-    depth: submission order preserved)."""
+    row ``y0`` (traced; 0 and band = full frame on a single device).
+    ONE pass regardless of triangle count: the kernel streams the
+    coefficient rows from HBM (raster_pallas module docstring)."""
     from ..ops import raster_pallas
-    T = tri_clip.shape[0]
     band_h = depth.shape[0]
-    cap = plan.raster_cfg.max_table_rows
-    ovf2 = jnp.zeros((2,), bool)
-    for lo in range(0, max(T, 1), cap):
-        hi = min(lo + cap, T)
-        tc = rc.triangle_setup(
-            tri_clip[lo:hi], tri_vary[lo:hi], valid[lo:hi], plan.width,
-            plan.height, cull_mode,
-            z_bias=None if z_bias is None else z_bias[lo:hi])
-        depth2, winner, num, den, ovf = raster_pallas.rasterize(
-            tc, band_h, plan.width, depth=depth,
-            tri_clip=tri_clip[lo:hi], cfg=plan.raster_cfg, y0=y0,
-            vp_height=plan.height)
-        ovf2 = ovf2 | ovf
-        fb = raster_pallas.shade_from_planes(winner, num, den, fb,
-                                             fragment_fn)
-        depth = depth2
-    return depth, fb, ovf2
+    tc = rc.triangle_setup(tri_clip, tri_vary, valid, plan.width,
+                           plan.height, cull_mode, z_bias=z_bias)
+    depth, winner, num, den, ovf = raster_pallas.rasterize(
+        tc, band_h, plan.width, depth=depth, tri_clip=tri_clip,
+        cfg=plan.raster_cfg, y0=y0, vp_height=plan.height)
+    fb = raster_pallas.shade_from_planes(winner, num, den, fb,
+                                         fragment_fn)
+    return depth, fb, ovf
 
 
 def _raster_sub_batched(plan, tri_clip, tri_vary, valid, depth, fb,
@@ -403,7 +392,7 @@ class Draw:
         self._program_cache: dict = {}
         self._big_scale = 1     # bumped when the big list overflows
         self._frames_since_rebuild = 0
-        self._pending_overflow = None   # last frame's flag, async-copied
+        self._pending_overflow = []   # queued flags, async-copied
         self._locals_buf = None
         self._bounds_cache = None
         self._bounds_cache_key = None
@@ -450,34 +439,37 @@ class Draw:
         plan = self._get_plan(window)
         args = self._gather_args(plan, window)
         fb, overflow = plan.fn(args)
-        # Adaptive capacity: if a batch overflowed its big-triangle list,
-        # rebuild with doubled capacity and re-render. Right after a
-        # (re)build the flag is checked synchronously (host sync) so
-        # startup never publishes a dropped-triangle frame; in steady
-        # state EVERY frame's flag is still checked, but asynchronously —
-        # the device->host copy of the 2-bool flag overlaps the next
-        # frame and is acted on one frame later (one frame of drops, then
-        # rebuild — never a silent steady-state drop).
+        # Adaptive capacity: if a batch overflowed its big-triangle or
+        # clip list, rebuild with scaled capacity and re-render. Right
+        # after a (re)build the flag is checked synchronously (host
+        # sync) so startup never publishes a dropped-triangle frame; in
+        # steady state EVERY frame's flag is still checked, but without
+        # blocking: flags queue with an async device->host copy and are
+        # consumed as they become ready (is_ready poll — a blocking read
+        # per frame would serialize host and device). A flag is acted on
+        # a few frames after its overflow (those frames drop triangles,
+        # then the rebuild re-renders) — overflow is never silent: the
+        # queue is force-drained beyond 8 outstanding flags.
         if plan.raster_cfg is not None and self._big_scale < 256:
             if self._frames_since_rebuild < 3:
                 self._frames_since_rebuild += 1
                 need_rebuild = np.asarray(overflow).any()
             else:
-                prev = self._pending_overflow
-                need_rebuild = (prev is not None
-                                and np.asarray(prev).any())
+                need_rebuild = self._poll_overflow_queue()
             while need_rebuild and self._big_scale < 256:
-                self._big_scale *= 2
+                # x4: every bump is a shape change and therefore a full
+                # recompile — overshooting capacity is far cheaper
+                self._big_scale *= 4
                 self._program_cache.clear()
                 plan = self._get_plan(window)
                 fb, overflow = plan.fn(args)
                 self._frames_since_rebuild = 1
                 need_rebuild = np.asarray(overflow).any()
-            try:  # start the async copy for next frame's check
+            try:  # start the async copy for a later frame's poll
                 overflow.copy_to_host_async()
             except Exception:
                 pass
-            self._pending_overflow = overflow
+            self._pending_overflow.append(overflow)
         self.last_overflow = overflow
         window.framebuffer = fb
         if rend.collect_stats:
@@ -500,6 +492,26 @@ class Draw:
 
     # -- internals -----------------------------------------------------------
 
+    def _poll_overflow_queue(self) -> bool:
+        """Consume whatever queued overflow flags have arrived on the
+        host (oldest first); block only when the queue backs up beyond
+        8 frames (bounds both memory and detection latency). Returns
+        True when any consumed flag reports an overflow."""
+        hit = False
+        q = self._pending_overflow
+        while q:
+            arr = q[0]
+            ready = True
+            try:
+                ready = arr.is_ready()
+            except AttributeError:
+                pass
+            if not ready and len(q) <= 8:
+                break
+            q.pop(0)
+            hit |= bool(np.asarray(arr).any())
+        return hit
+
     def _resolve_backend(self) -> str:
         b = self.renderer.raster_backend
         if b != "auto":
@@ -517,9 +529,10 @@ class Draw:
         if plan is not None:
             return plan
 
-        # a new plan re-arms the synchronous overflow-check window
+        # a new plan re-arms the synchronous overflow-check window and
+        # drops stale queued flags (they described the old capacities)
         self._frames_since_rebuild = 0
-        self._pending_overflow = None
+        self._pending_overflow = []
         parents, levels = _build_levels(rend.scene_nodes)
         surfaces = []
         for s, _ in self._items:

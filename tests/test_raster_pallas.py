@@ -24,7 +24,7 @@ from myrenderer_tpu.ops import raster_pallas as rp
 from myrenderer_tpu.ops import raster_ref as rr
 
 CFG = rp.RasterConfig(tile_h=8, tile_w=128, max_tiles_per_tri=8,
-                      big_capacity=256, interpret=True)
+                      big_capacity=256, stream_window=64, interpret=True)
 
 
 def random_triangles(n, seed, depth_range=(0.1, 0.9), w_range=(0.8, 5.0)):
@@ -198,22 +198,22 @@ def test_hierarchical_instances_backend_parity():
     assert len(found) >= 4
 
 
-def test_sub_batching_matches_single_pass():
-    """Batches above the VMEM table capacity split into sub-batches with
-    carried depth; the composite must match a single-pass raster."""
-    import dataclasses
-    from myrenderer_tpu.app.demo import DemoApp
-
-    # force tiny sub-batches through the frame path via a custom config
-    app = DemoApp(width=96, height=128, backend="pallas")
-    app.renderer.raster_cfg = dataclasses.replace(
-        rp.RasterConfig(interpret=True), max_table_rows=4096)
-    fb_small = np.asarray(app.run(1))
-
-    app2 = DemoApp(width=96, height=128, backend="pallas")
-    app2.renderer.raster_cfg = rp.RasterConfig(interpret=True)
-    fb_big = np.asarray(app2.run(1))
-    np.testing.assert_allclose(fb_small, fb_big, atol=5e-4)
+def test_stream_window_boundaries():
+    """The coefficient-row stream is DMAed in fixed windows; tile
+    segments that straddle window boundaries (start/end at arbitrary
+    offsets) must evaluate identically for every window size."""
+    H, W = 48, 256
+    clip, vary = random_triangles(150, seed=21)
+    valid = jnp.ones(150, bool)
+    tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+    d_ref, w_ref = rr.rasterize_visibility(tc, H, W)
+    for win in (32, 64, 512):
+        cfg = rp.RasterConfig(tile_h=8, tile_w=128, big_capacity=256,
+                              stream_window=win, chunk=16,
+                              interpret=True)
+        d, w = rp.rasterize_visibility(tc, H, W, tri_clip=clip, cfg=cfg)
+        np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w))
+        assert_depth_close(d_ref, d)
 
 
 def test_perspective_correct_interpolation():
