@@ -1,9 +1,19 @@
 #!/usr/bin/env python
-"""Kernel-stage microbenchmark on real hardware: times triangle_setup,
-binning, and the full rasterize separately for a synthetic batch, so
-kernel regressions can be localized without the full demo.
+"""Kernel-stage benchmark on real hardware: times triangle_setup,
+binning, and the full rasterize separately so regressions can be
+localized without the full demo.
 
-Usage: python tools/kbench.py [--t 20000] [--h 1080] [--w 1920]
+TIMING METHODOLOGY (important): every timed call gets a DISTINCT input
+buffer (the clip array scaled by (1 + i*2^-18) — geometrically the same
+triangles, since clip coordinates are homogeneous, but different bits).
+Timing repeated calls with IDENTICAL args through the axon relay
+produces impossibly fast numbers (identical executions appear to be
+deduplicated); distinct inputs force every execution to really run, and
+the single device queue serializes them, so wall/n is honest.
+
+Usage:
+  python tools/kbench.py [--t 20000] [--h 1080] [--w 1920] [--size 0.05]
+  python tools/kbench.py --load /tmp/stress_tris.npz   # real stress batch
 """
 
 import argparse
@@ -39,12 +49,23 @@ def random_triangles(n, seed, size=0.05):
     return jnp.asarray(clip), jnp.asarray(vary)
 
 
-def timeit(label, fn, *args, n=30):
-    out = jax.block_until_ready(fn(*args))
+N_VARIANTS = 10
+
+
+def make_variants(clip):
+    """Distinct-bits copies of the clip array (same geometry: clip
+    coords are homogeneous, scaling all 4 components is a no-op)."""
+    mk = jax.jit(lambda c, s: c * s)
+    return [jax.block_until_ready(mk(clip, jnp.float32(1.0 + i * 2.0**-18)))
+            for i in range(N_VARIANTS)]
+
+
+def timeit(label, fn, variants, fixed, n=N_VARIANTS):
+    out = jax.block_until_ready(fn(variants[0], *fixed))   # warm/compile
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(variants[i % len(variants)], *fixed) for i in range(n)]
+    for o in outs:
+        jax.block_until_ready(o)
     dt = (time.perf_counter() - t0) / n * 1000
     print(f"{label}: {dt:.3f} ms", flush=True)
     return dt
@@ -56,11 +77,15 @@ def main():
     ap.add_argument("--h", type=int, default=1080)
     ap.add_argument("--w", type=int, default=1920)
     ap.add_argument("--size", type=float, default=0.05)
+    ap.add_argument("--load", default=None,
+                    help=".npz from tools/dump_stress_tris.py")
     ap.add_argument("--chunk", type=int, default=None)
     ap.add_argument("--window", type=int, default=None)
+    ap.add_argument("--k", type=int, default=None, help="max_tiles_per_tri")
     ap.add_argument("--tile", default=None, help="HxW, e.g. 32x128")
+    ap.add_argument("--skip-split", action="store_true",
+                    help="skip the bin-internals (sort/gather) split")
     args = ap.parse_args()
-    T, H, W = args.t, args.h, args.w
 
     cfg = rp.DEFAULT_CONFIG
     import dataclasses
@@ -68,17 +93,29 @@ def main():
         cfg = dataclasses.replace(cfg, chunk=args.chunk)
     if args.window:
         cfg = dataclasses.replace(cfg, stream_window=args.window)
+    if args.k:
+        cfg = dataclasses.replace(cfg, max_tiles_per_tri=args.k)
     if args.tile:
         th, tw = (int(v) for v in args.tile.split("x"))
         cfg = dataclasses.replace(cfg, tile_h=th, tile_w=tw)
-    print(f"T={T} {W}x{H} tri_size={args.size} cfg={cfg}")
 
-    clip, vary = random_triangles(T, 0, size=args.size)
-    valid = jnp.ones(T, bool)
+    if args.load:
+        data = np.load(args.load)
+        clip = jnp.asarray(data["tri_clip"])
+        vary = jnp.asarray(data["tri_vary"])
+        valid = jnp.asarray(data["valid"])
+        W, H = int(data["width"]), int(data["height"])
+        T = clip.shape[0]
+    else:
+        T, H, W = args.t, args.h, args.w
+        clip, vary = random_triangles(T, 0, size=args.size)
+        valid = jnp.ones(T, bool)
+    print(f"T={T} {W}x{H} cfg={cfg}", flush=True)
+
+    variants = make_variants(clip)
 
     setup = jax.jit(lambda c, v, vl: rc.triangle_setup(c, v, vl, W, H,
                                                        "back"))
-    tc = jax.block_until_ready(setup(clip, vary, valid))
 
     @jax.jit
     def binned(c, v, vl):
@@ -90,14 +127,70 @@ def main():
         tc = rc.triangle_setup(c, v, vl, W, H, "back")
         return rp.rasterize(tc, H, W, tri_clip=c, cfg=cfg)
 
-    timeit("setup            ", setup, clip, vary, valid)
-    timeit("setup+bin        ", binned, clip, vary, valid)
-    t_full = timeit("setup+bin+kernel ", full, clip, vary, valid)
+    t_set = timeit("setup            ", setup, variants, (vary, valid))
+    t_bin = timeit("setup+bin        ", binned, variants, (vary, valid))
+    t_full = timeit("setup+bin+kernel ", full, variants, (vary, valid))
+    print(f"  => bin ~{t_bin - t_set:.3f} ms, kernel ~{t_full - t_bin:.3f}"
+          " ms", flush=True)
 
-    d, w, _n, _dn, ovf = jax.block_until_ready(full(clip, vary, valid))
+    if not args.skip_split:
+        # binning internals: the (tile,tri)-key sort and the stream
+        # gather, on the REAL key distribution (duplicates the front of
+        # bin_triangles so each piece can be timed in isolation)
+        K = cfg.max_tiles_per_tri
+        nty, ntx = -(-H // cfg.tile_h), -(-W // cfg.tile_w)
+        NT = nty * ntx
+
+        def real_keys(c, tc):
+            wv = jnp.maximum(c[..., 3], rc.W_EPS)
+            u = (0.5 * c[..., 0] / wv + 0.5) * W
+            v = (0.5 - 0.5 * c[..., 1] / wv) * H
+            minx = jnp.clip(jnp.floor(u.min(1)), 0, W - 1)
+            maxx = jnp.clip(jnp.ceil(u.max(1)), 0, W - 1)
+            miny = jnp.clip(jnp.floor(v.min(1)), 0, H - 1)
+            maxy = jnp.clip(jnp.ceil(v.max(1)), 0, H - 1)
+            tx0 = (minx / cfg.tile_w).astype(jnp.int32)
+            tx1 = (maxx / cfg.tile_w).astype(jnp.int32)
+            ty0 = (miny / cfg.tile_h).astype(jnp.int32)
+            ty1 = (maxy / cfg.tile_h).astype(jnp.int32)
+            sx = tx1 - tx0 + 1
+            span = sx * (ty1 - ty0 + 1)
+            small = tc.valid & (span <= K)
+            e = jnp.arange(K, dtype=jnp.int32)
+            ey = e[None, :] // jnp.maximum(sx, 1)[:, None]
+            ex = e[None, :] % jnp.maximum(sx, 1)[:, None]
+            tile = (ty0[:, None] + ey) * ntx + (tx0[:, None] + ex)
+            live = small[:, None] & (e[None, :] < span[:, None])
+            tile = jnp.where(live, tile, NT)
+            tri = jnp.broadcast_to(
+                jnp.arange(T, dtype=jnp.int32)[:, None], (T, K))
+            return (tile.reshape(-1) * (T + 1) + tri.reshape(-1))
+
+        @jax.jit
+        def sort_only(c, v, vl):
+            tc = rc.triangle_setup(c, v, vl, W, H, "back")
+            return jnp.sort(real_keys(c, tc), stable=False)
+
+        @jax.jit
+        def gather_only(c, v, vl):
+            tc = rc.triangle_setup(c, v, vl, W, H, "back")
+            packed = rc.pack_coeffs_full(tc)
+            keys = jnp.sort(real_keys(c, tc), stable=False)
+            idx = jnp.clip(keys % (T + 1), 0, T - 1)
+            return packed[idx]
+
+        t_sort = timeit("setup+sort       ", sort_only, variants,
+                        (vary, valid))
+        t_gath = timeit("setup+sort+gather", gather_only, variants,
+                        (vary, valid))
+        print(f"  => sort ~{t_sort - t_set:.3f} ms, "
+              f"gather ~{t_gath - t_sort:.3f} ms", flush=True)
+
+    d, w, _n, _dn, ovf = jax.block_until_ready(full(variants[0], vary,
+                                                    valid))
     cov = (np.asarray(w) >= 0).mean()
     print(f"coverage={cov:.3f} overflow={np.asarray(ovf).tolist()} "
-          f"-> {T / t_full / 1e3:.2f} Mtri/s")
+          f"-> {T / t_full / 1e3:.2f} Mtri/s", flush=True)
 
 
 if __name__ == "__main__":
