@@ -56,6 +56,11 @@ W_EPS = 1e-6
 # (< 1e-5 view-space units from the eye) is invisible.
 W_CLIP = 8e-6
 
+# Per-triangle cull codes for merged passes mixing raster states
+# (triangle_setup accepts i32[T] of these instead of a static string).
+CULL_BACK, CULL_FRONT, CULL_NONE = 0, 1, 2
+CULL_CODES = {"back": CULL_BACK, "front": CULL_FRONT, "none": CULL_NONE}
+
 # Number of packed f32 lanes per triangle in the coefficient record.
 # Layout (see pack_coeffs): a0,b0,c0, a1,b1,c1, a2,b2,c2, zna,znb,znc,
 # wna,wnb,wnc, valid. Color numerators ride separately (resolve pass).
@@ -124,17 +129,28 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
     # det = e_0 evaluated at P_0 (homogeneous)
     det = aa[0] * us[0] + bb[0] * vs[0] + cc[0] * ws[0]
 
-    if cull_mode == "back":
-        facing_ok = det > 0
-        sign = None
-    elif cull_mode == "front":
-        facing_ok = det < 0
-        sign = -jnp.ones_like(det)
-    elif cull_mode == "none":
-        facing_ok = det != 0
-        sign = jnp.sign(det)
+    if isinstance(cull_mode, str):
+        if cull_mode == "back":
+            facing_ok = det > 0
+            sign = None
+        elif cull_mode == "front":
+            facing_ok = det < 0
+            sign = -jnp.ones_like(det)
+        elif cull_mode == "none":
+            facing_ok = det != 0
+            sign = jnp.sign(det)
+        else:
+            raise ValueError(f"unknown cull_mode {cull_mode!r}")
     else:
-        raise ValueError(f"unknown cull_mode {cull_mode!r}")
+        # per-triangle cull codes (i32[T], see CULL_CODES): lets batches
+        # with different raster state share ONE merged raster pass
+        mode = jnp.asarray(cull_mode)
+        facing_ok = jnp.where(mode == CULL_BACK, det > 0,
+                              jnp.where(mode == CULL_FRONT, det < 0,
+                                        det != 0))
+        sign = jnp.where(mode == CULL_BACK, 1.0,
+                         jnp.where(mode == CULL_FRONT, -1.0,
+                                   jnp.sign(det)))
 
     # Orient edges so interior is always e > 0.
     if sign is not None:
@@ -232,7 +248,8 @@ def _clip_straddlers(tri_clip: jax.Array, tri_vary: jax.Array):
 
 def clip_near_capacity(tri_clip: jax.Array, tri_vary: jax.Array,
                        valid: jax.Array, cap: int,
-                       z_bias: jax.Array | None = None):
+                       z_bias: jax.Array | None = None,
+                       cull_codes: jax.Array | None = None):
     """Eye-plane clipping stage with a static capacity.
 
     Gathers up to ``cap`` straddling triangles (any vertex at
@@ -240,7 +257,9 @@ def clip_near_capacity(tri_clip: jax.Array, tri_vary: jax.Array,
     triangle_setup's w_ok drops) in submission order, clips each to <= 2
     triangles, and appends them as 2*cap extra slots. Returns
     (tri_clip [T+2cap, 3, 4], tri_vary, valid, z_bias | None,
-    overflow bool[]) — ``overflow`` set when more than ``cap``
+    cull_codes | None, overflow bool[]) — clipped fragments inherit
+    their source triangle's z_bias / cull code; ``overflow`` set when
+    more than ``cap``
     triangles straddle (Draw reacts like big-list overflow: bump and
     re-render). Appending moves clipped fragments to the end of the
     submission order; only exact depth ties against later triangles can
@@ -272,7 +291,10 @@ def clip_near_capacity(tri_clip: jax.Array, tri_vary: jax.Array,
     if z_bias is not None:
         zb = z_bias[sel]
         z_bias = jnp.concatenate([z_bias, zb, zb])
-    return out_clip, out_vary, out_valid, z_bias, overflow
+    if cull_codes is not None:
+        cc = cull_codes[sel]
+        cull_codes = jnp.concatenate([cull_codes, cc, cc])
+    return out_clip, out_vary, out_valid, z_bias, cull_codes, overflow
 
 
 def pack_coeffs(tc: TriCoeffs) -> jax.Array:

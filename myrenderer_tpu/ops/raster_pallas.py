@@ -13,12 +13,17 @@ raster/depth hardware the reference drives through ``mach.gpu``
    triangles within a tile in ascending submission order, preserving
    the depth-tie semantics of the reference's 'less' test. The result
    is a *CSR* structure: per-tile (start, count) offsets into one
-   **pre-gathered coefficient-row stream** in HBM (f32[E, 32], rows in
-   bin order) — no per-tile capacity, no bin overflow, no dense slack,
-   and no VMEM-resident table, so ONE kernel pass handles any triangle
-   count. Triangles spanning more than ``max_tiles_per_tri`` tiles go
-   to a small shared "big" block processed by every tile after its
-   binned triangles (adaptively sized).
+   **pre-gathered coefficient-row stream** in HBM (rows in bin order) —
+   no per-tile capacity, no dense slack, and no VMEM-resident table, so
+   ONE kernel pass handles any triangle count. The stream itself has an
+   adaptive capacity (``stream_factor * T`` rows, overflow-flagged):
+   XLA row gathers cost ~25-45 ns/row regardless of layout, so gathering
+   the K*T worst case would dominate the frame at megatriangle scale;
+   live incidences sort ahead of the dead slack and only the capacity
+   prefix is gathered. Triangles spanning more than
+   ``max_tiles_per_tri`` tiles go to a small shared "big" block
+   processed by every tile after its binned triangles (adaptively
+   sized).
 3. **Kernel** (Pallas, grid = tile rows x tile cols): each program owns
    one (tile_h, tile_w) framebuffer tile in VMEM. The tile's slice of
    the row stream is DMAed in ``stream_window``-row windows,
@@ -36,9 +41,10 @@ raster/depth hardware the reference drives through ``mach.gpu``
 Shading finishes in XLA: one division and the pipeline's fragment
 function over dense [H, W] buffers (``shade_from_planes``).
 
-The only static capacity left is ``max_tiles_per_tri`` (bbox tile span
-before a triangle is routed to the big list) and the big list size,
-which Draw scales adaptively when a frame reports big-list overflow.
+The static capacities are ``max_tiles_per_tri`` (bbox tile span before
+a triangle is routed to the big list), the big list size, and the
+stream capacity — the latter two scale adaptively when a frame reports
+overflow (Draw re-renders with big_scale bumped).
 """
 
 from __future__ import annotations
@@ -76,6 +82,13 @@ class RasterConfig:
     chunk: int = 64               # entries per inner step (evaluated as
                                   # 4 lane-blocks of chunk/4 triangles)
     stream_window: int = 512      # coefficient rows per DMA window
+    stream_factor: float = 2.0    # stream capacity = factor * T rows
+                                  # (live incidences are ~1.3-1.7 per
+                                  # triangle; dead K*T slack sorts to the
+                                  # tail and is NOT gathered — XLA row
+                                  # gathers cost ~25-45 ns/row, the
+                                  # dominant frame cost at megatriangle
+                                  # scale. Overflow -> adaptive bump.)
     interpret: bool = False      # Pallas interpreter (CPU testing)
 
 
@@ -84,6 +97,14 @@ DEFAULT_CONFIG = RasterConfig()
 
 def _cdiv(a: int, b: int) -> int:
     return (a + b - 1) // b
+
+
+def _big_geometry(cfg: RasterConfig) -> tuple[int, int]:
+    """(big capacity, chunk) honoring VMEM sublane alignment: chunk is a
+    multiple of 8 and divides the (rounded-up) big capacity."""
+    B = cfg.big_capacity * cfg.big_scale
+    chunk = min(cfg.chunk, _cdiv(B, 8) * 8)
+    return _cdiv(B, chunk) * chunk, chunk
 
 
 # ---------------------------------------------------------------------------
@@ -95,13 +116,18 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
                   vp_height: int | None = None):
     """CSR-bin triangles to tiles.
 
-    Returns (stream f32[S, LANES], starts i32[NT], counts i32[NT],
+    Returns (stream f32[S, 128], starts i32[NT], counts i32[NT],
     big_rows f32[1, B, LANES], big_count i32[1], big_touch i32[NT],
-    overflow_big bool[]). S = max_tiles_per_tri * T rounded up to a
-    whole number of ``stream_window`` rows; every triangle-tile
-    incidence with span <= K gets a stream row (its packed coefficient
-    record, gathered here so the kernel streams contiguously), so
-    binned coverage is exact (no overflow).
+    overflow bool[2] = (stream capacity, big list)). S =
+    ``stream_factor * big_scale * T`` rounded up to whole
+    ``stream_window`` rows (capped at the K*T worst case): every
+    triangle-tile incidence with span <= K gets a stream row (its packed
+    coefficient record, gathered here so the kernel streams
+    contiguously). Live incidences sort ahead of the dead slack, so the
+    gather — the dominant megatriangle cost at ~25-45 ns/row — touches
+    only S rows; more live incidences than S raises the stream overflow
+    flag (the overflowing frame clamps tail tiles' counts; Draw bumps
+    capacity and re-renders).
 
     ``y0``/``vp_height`` support band rendering (the multi-chip row
     shards): the viewport transform always uses the FULL frame height
@@ -116,7 +142,7 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     ntx = _cdiv(width, cfg.tile_w)
     NT = nty * ntx
     K = cfg.max_tiles_per_tri
-    B = cfg.big_capacity * cfg.big_scale
+    B, _chunk = _big_geometry(cfg)
     W = cfg.stream_window
 
     w = jnp.maximum(tri_clip[..., 3], rc.W_EPS)
@@ -172,18 +198,41 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
             jnp.int32)
         ends = jnp.searchsorted(tile_sorted, tile_range + 1).astype(
             jnp.int32)
-    counts = ends - starts                             # [NT], uncapped
 
-    # pre-gather the stream: coefficient rows in bin order, padded to
-    # whole DMA windows (dead tail rows are never inside any tile's
-    # [start, end) segment). Rows are packed 4 entries per 128-lane
-    # stream row: Mosaic requires manual HBM DMA slices to be 128-lane
-    # aligned, so a [S, 32] stream cannot be windowed — [S/4, 128] can.
+    # Stream capacity: dead incidence slots (tile == NT) sort to the
+    # tail past every live entry, so only the first S rows need
+    # gathering — and XLA row gathers (~25-45 ns/row, layout-independent)
+    # are the single most expensive op at megatriangle scale, so the
+    # capacity is a REAL capacity (factor * T, adaptively scaled), not
+    # the K*T worst case. On overflow the tail tiles' counts clamp (one
+    # frame drops those triangles, like big-list overflow) and the flag
+    # triggers Draw's bump + re-render.
+    # floor of 128k entries: below that the gather is sub-ms anyway and
+    # small scenes (whose triangles are large relative to the tile grid,
+    # spans 3-8) must not need adaptive bumps just to fit the stream
+    S = min(max(_cdiv(int(T * cfg.stream_factor * cfg.big_scale), W),
+                _cdiv(min(K * T, 2**17), W), 1),
+            _cdiv(K * T, W)) * W
+    live_total = ends[NT - 1] if NT > 0 else jnp.int32(0)
+    overflow_stream = live_total > S
+    ends = jnp.minimum(ends, S)
+    starts = jnp.minimum(starts, S)
+    counts = ends - starts                             # [NT]
+
+    # pre-gather the stream: coefficient rows in bin order, in whole DMA
+    # windows, one entry per 128-lane stream row (Mosaic requires manual
+    # HBM DMA slices to be 128-lane aligned, so a [S, 32] stream could
+    # not be windowed anyway).
     packed = rc.pack_coeffs_full(tc)                   # [T, 32]
-    stream = packed[tri_sorted]                        # [K*T, 32]
-    S = max(_cdiv(stream.shape[0], W), 1) * W
-    stream = jnp.pad(stream, ((0, S - stream.shape[0]), (0, 0)))
-    stream = stream.reshape(S // 4, 4 * LANES)         # [S/4, 128]
+    # pad records to full 128-lane rows BEFORE the gather: XLA row
+    # gathers from a [T, 128] table run ~5x faster per row than from
+    # [T, 32] (narrow rows hit a slow sublane path). 4x the bytes, but
+    # the gather is row-overhead-bound, not bandwidth-bound.
+    packed128 = jnp.pad(packed, ((0, 0), (0, 128 - LANES)))
+    idx_cap = tri_sorted[:S]
+    if idx_cap.shape[0] < S:
+        idx_cap = jnp.pad(idx_cap, (0, S - idx_cap.shape[0]))
+    stream = packed128[idx_cap]                        # [S, 128]
 
     # big list: indices of 'big' triangles in submission order
     big_order = jnp.where(big, tri_idx, T)
@@ -211,7 +260,7 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     big_touch = hit.any(axis=1).astype(jnp.int32)      # [NT]
 
     return stream, starts, counts, big_rows, big_count[None], \
-        big_touch, overflow_big
+        big_touch, jnp.stack([overflow_stream, overflow_big])
 
 
 # ---------------------------------------------------------------------------
@@ -258,12 +307,10 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
     nbig = jnp.where(big_touch_ref[t] > 0, big_count_ref[0], 0)
 
     def eval_block(sub, lane_base, live, carry):
-        """sub: (g, >=lane_base+LANES) coefficient rows — either a
-        (chunk/4, 128) packed stream read (lane_base = 32*block picks
-        the block's entry) or the (g, 32) big-list rows (lane_base = 0).
-        live: (g, 1) slot mask. Single-lane slices at arbitrary static
-        offsets are cheap; sublane concatenation of lane-offset slices
-        is not — hence per-block evaluation instead of unpacking."""
+        """sub: (g, >= lane_base + LANES) coefficient rows — a (G, 128)
+        stream window slice or the (g, 32) big-list rows. live: (g, 1)
+        slot mask. Coefficients are consumed as single-lane slices
+        (cheap at any static lane offset)."""
         depth, winner, nums, den = carry
         g = sub.shape[0]
 
@@ -302,14 +349,11 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                 jnp.where(win, den_c, den))
 
     # --- binned triangles: double-buffered stream windows ---------------
-    # the stream is 4-entries-per-128-lane-row packed; a window is W
-    # entries = W//4 stream rows
-    PW = W // 4
-    PG = G // 4
-
+    # one entry per 128-lane stream row (lanes [COEFF..128) are pad); a
+    # window is W rows
     def window_dma(blk, slot):
         return pltpu.make_async_copy(
-            stream_hbm.at[pl.ds(blk * PW, PW), :],
+            stream_hbm.at[pl.ds(blk * W, W), :],
             stream_scratch.at[slot], dma_sems.at[slot])
 
     blk0 = lax.div(start, W)
@@ -322,11 +366,7 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
     def _():
         window_dma(blk0, blk0 % 2).start()
 
-    # stream row p, lane block b holds entry 4p + b: block b of a chunk
-    # read covers entries off + 4r + b, r in [0, PG). The min-reduce
-    # winner resolve is order-invariant, so blocks may be evaluated in
-    # any order; only the live mask needs each slot's true position.
-    r_iota = lax.broadcasted_iota(jnp.int32, (PG, 1), 0)
+    r_iota = lax.broadcasted_iota(jnp.int32, (G, 1), 0)
 
     def block_body(b, carry):
         blk = blk0 + b
@@ -346,13 +386,10 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
         c1 = lax.div(jnp.minimum(end - wbase, W) + G - 1, G)
 
         def chunk_body(ci, carry):
-            rows = stream_scratch[slot, pl.ds(ci * PG, PG), :]  # (PG,128)
-            base = wbase + ci * G + 4 * r_iota
-            for blk4 in range(4):
-                pos = base + blk4
-                live = (pos >= start) & (pos < end)
-                carry = eval_block(rows, 32 * blk4, live, carry)
-            return carry
+            rows = stream_scratch[slot, pl.ds(ci * G, G), :]   # (G,128)
+            pos = wbase + ci * G + r_iota
+            live = (pos >= start) & (pos < end)
+            return eval_block(rows, 0, live, carry)
 
         return lax.fori_loop(c0, c1, chunk_body, carry)
 
@@ -382,12 +419,12 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
 
     # big triangles after binned ones (ties-only order deviation)
     def big_chunk(ci, carry):
-        sub = big_ref[0, pl.ds(ci * PG, PG), :]
-        slot = r_iota + ci * PG
+        sub = big_ref[0, pl.ds(ci * G, G), :]
+        slot = r_iota + ci * G
         return eval_block(sub, 0, slot < nbig, carry)
 
     depth, winner, nums, den = lax.fori_loop(
-        0, lax.div(nbig + PG - 1, PG), big_chunk, carry)
+        0, lax.div(nbig + G - 1, G), big_chunk, carry)
 
     # one fused f32 out block: [0]=depth, [1]=den, [2:6]=varying nums
     fused_ref[...] = jnp.concatenate(
@@ -407,8 +444,8 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
     the coefficient stream lives in HBM, not VMEM).
 
     Returns (depth f32[H,W], winner i32[H,W], vary_num f32[4,H,W],
-    vary_den f32[H,W], overflowed bool[2] = (bins, big list); the bins
-    flag is always False with CSR binning). The perspective-correct
+    vary_den f32[H,W], overflowed bool[2] = (stream capacity, big
+    list)). The perspective-correct
     varyings of the winning triangle at pixel p are
     ``vary_num[:, p] / vary_den[p]`` (denominator is 1 where uncovered).
 
@@ -434,23 +471,19 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
     nty = _cdiv(height, cfg.tile_h)
     ntx = _cdiv(width, cfg.tile_w)
     ph, pw = nty * cfg.tile_h, ntx * cfg.tile_w
-    B = cfg.big_capacity * cfg.big_scale
-    chunk = min(cfg.chunk, 4 * B)
-    if chunk % 4:
-        raise ValueError(f"chunk ({chunk}) must be a multiple of 4 "
-                         "(stream rows pack 4 entries)")
-    if B % (chunk // 4):
-        raise ValueError(f"big capacity ({B}) must be a multiple of "
-                         f"chunk/4 ({chunk // 4})")
+    B, chunk = _big_geometry(cfg)
+    if cfg.chunk % 8:
+        raise ValueError(f"chunk ({cfg.chunk}) must be a multiple of 8 "
+                         "(sublane alignment of VMEM row slices)")
     W = cfg.stream_window
-    if W % chunk or W % 32:
+    if W % chunk or W % 8:
         raise ValueError(f"stream_window ({W}) must be a multiple of "
-                         f"chunk ({chunk}) and of 32 (DMA tile "
-                         "alignment of the packed stream)")
+                         f"chunk ({chunk}) and of 8 (DMA sublane "
+                         "alignment of the stream)")
 
     (stream, starts, counts, big_rows, big_count, big_touch,
-     ovf_big) = bin_triangles(tc, tri_clip, height, width, cfg, y0=y0,
-                              vp_height=vp_height)
+     ovf) = bin_triangles(tc, tri_clip, height, width, cfg, y0=y0,
+                          vp_height=vp_height)
 
     y0_arr = jnp.asarray(y0, jnp.int32).reshape(1)
     depth_p = jnp.pad(depth, ((0, ph - height), (0, pw - width)),
@@ -485,14 +518,14 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
             jax.ShapeDtypeStruct((ph, pw), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, W // 4, 4 * LANES), jnp.float32),  # windows
+            pltpu.VMEM((2, W, 128), jnp.float32),             # windows
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=cfg.interpret,
     )(y0_arr, starts, counts, big_count, big_touch, stream,
       big_rows, depth_p)
 
-    overflowed = jnp.stack([jnp.zeros((), bool), ovf_big])
+    overflowed = ovf    # [2] = (stream capacity, big list)
     return (fused[0, :height, :width], winner[:height, :width],
             fused[2:6, :height, :width], fused[1, :height, :width],
             overflowed)

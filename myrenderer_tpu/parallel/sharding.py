@@ -89,7 +89,7 @@ def sharded_render_step(mesh: Mesh, height: int, width: int,
         # eye-plane clipping on the gathered (replicated) set: every
         # shard derives the identical clipped stream. Capacity overflow
         # is not surfaced here (static cap; raise clip_capacity).
-        tri_clip, tri_vary, valid, _zb, _ovf = rc.clip_near_capacity(
+        tri_clip, tri_vary, valid, _zb, _cc, _ovf = rc.clip_near_capacity(
             tri_clip, tri_vary, valid, clip_capacity)
 
         row = jax.lax.axis_index("rows")

@@ -168,19 +168,21 @@ def _build_batches(surface, renderer):
 
 
 def _mergeable(plan) -> bool:
-    """Surfaces can be rendered in ONE layer-biased raster pass when the
-    pallas backend is active, only the first surface clears, and every
-    batch shares raster state + fragment function."""
+    """Surfaces/batches can be rendered in ONE layer-biased raster pass
+    when the pallas backend is active, only the first surface clears,
+    every batch writes depth, and all batches share a fragment function.
+    Cull modes may differ (per-triangle cull codes); single-surface
+    multi-batch frames merge too (saves a full bin+kernel pass per
+    extra batch)."""
     if plan.backend != "pallas":
         return False
     if any(plan.clear_flags[1:]):
         return False
     batches = [b for s in plan.surfaces for b in s.batches]
-    if len(batches) < 2 or len(plan.surfaces) < 2:
+    if len(batches) < 2:
         return False
     p0 = batches[0].pipeline
     return all(b.pipeline.fragment_fn is p0.fragment_fn
-               and b.pipeline.cull_mode == p0.cull_mode
                and b.pipeline.depth_write
                for b in batches)
 
@@ -238,15 +240,17 @@ def _batch_vertex_products(plan, args, world):
     return out
 
 
-def _clip_near(plan, tri_clip, tri_vary, valid, overflow, z_bias=None):
+def _clip_near(plan, tri_clip, tri_vary, valid, overflow, z_bias=None,
+               cull_codes=None):
     """Eye-plane clipping stage (both backends): straddling triangles
     are clipped into appended slots; capacity overflow rides overflow
     lane 2 and triggers the same adaptive bump as the big list."""
     cap = plan.raster_cfg.clip_capacity * plan.raster_cfg.big_scale
-    tri_clip, tri_vary, valid, z_bias, clip_ovf = rc.clip_near_capacity(
-        tri_clip, tri_vary, valid, cap, z_bias)
+    (tri_clip, tri_vary, valid, z_bias, cull_codes,
+     clip_ovf) = rc.clip_near_capacity(tri_clip, tri_vary, valid, cap,
+                                       z_bias, cull_codes)
     overflow = overflow.at[2].set(overflow[2] | clip_ovf)
-    return tri_clip, tri_vary, valid, z_bias, overflow
+    return tri_clip, tri_vary, valid, z_bias, cull_codes, overflow
 
 
 def _raster_band_core(plan, tri_clip, tri_vary, valid, z_bias,
@@ -269,14 +273,18 @@ def _raster_band_core(plan, tri_clip, tri_vary, valid, z_bias,
 
 def _raster_sub_batched(plan, tri_clip, tri_vary, valid, depth, fb,
                         cull_mode, fragment_fn, overflow, z_bias=None):
-    """Eye-plane clip + Pallas raster + shade. With ``plan.mesh`` set,
-    the framebuffer/depth are sharded by pixel rows over the mesh's
-    'rows' axis and each device rasterizes its own band (bit-identical
-    to the same rows of a single-device render; triangles are
-    replicated — rasterization needs no cross-band reduction, so the
-    only collective is the output staying sharded)."""
-    tri_clip, tri_vary, valid, z_bias, overflow = _clip_near(
-        plan, tri_clip, tri_vary, valid, overflow, z_bias)
+    """Eye-plane clip + Pallas raster + shade. ``cull_mode`` is a static
+    string or a per-triangle i32 code array (merged passes mixing raster
+    states). With ``plan.mesh`` set, the framebuffer/depth are sharded
+    by pixel rows over the mesh's 'rows' axis and each device rasterizes
+    its own band (bit-identical to the same rows of a single-device
+    render; triangles are replicated — rasterization needs no cross-band
+    reduction, so the only collective is the output staying sharded)."""
+    cull_codes = None if isinstance(cull_mode, str) else cull_mode
+    tri_clip, tri_vary, valid, z_bias, cull_codes, overflow = _clip_near(
+        plan, tri_clip, tri_vary, valid, overflow, z_bias, cull_codes)
+    if cull_codes is not None:
+        cull_mode = cull_codes
     if plan.mesh is None:
         depth, fb, ovf2 = _raster_band_core(
             plan, tri_clip, tri_vary, valid, z_bias, depth, fb,
@@ -290,19 +298,24 @@ def _raster_sub_batched(plan, tri_clip, tri_vary, valid, depth, fb,
         # a zero bias is decision- and depth-identical to no bias
         # (z + 0*w == z; zhi == valid); keeps the shard signature static
         z_bias = jnp.zeros(tri_clip.shape[0], jnp.float32)
+    if cull_codes is None:
+        # static cull string: encode anyway so the shard body has one
+        # signature (codes reproduce the string semantics exactly)
+        cull_mode = jnp.full(tri_clip.shape[0],
+                             rc.CULL_CODES[cull_mode], jnp.int32)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P("rows"), P("rows")),
+        in_specs=(P(), P(), P(), P(), P(), P("rows"), P("rows")),
         out_specs=(P("rows"), P("rows"), P("rows")), check_vma=False)
-    def body(tcl, tvr, vld, zb, depth_band, fb_band):
+    def body(tcl, tvr, vld, zb, cc, depth_band, fb_band):
         y0 = jax.lax.axis_index("rows") * band
         d, f, o = _raster_band_core(plan, tcl, tvr, vld, zb, depth_band,
-                                    fb_band, cull_mode, fragment_fn, y0)
+                                    fb_band, cc, fragment_fn, y0)
         return d, f, o[None]          # [1, 2] -> [n_rows, 2] gathered
 
     depth, fb, ovf_rows = body(tri_clip, tri_vary, valid, z_bias,
-                               depth, fb)
+                               cull_mode, depth, fb)
     return depth, fb, overflow.at[:2].set(overflow[:2] | ovf_rows.any(0))
 
 
@@ -311,7 +324,7 @@ def _frame_fn(plan: _FramePlan, args):
     world = vs.compose_world_transforms(args["locals"], plan.levels,
                                         plan.parents)
     H, W = plan.height, plan.width
-    overflow = jnp.zeros((3,), bool)   # (bin rounds, big list, clip list)
+    overflow = jnp.zeros((3,), bool)   # (stream cap, big list, clip list)
 
     if plan.merged:
         # ONE raster pass for all surfaces: surface s gets depth bias
@@ -323,23 +336,29 @@ def _frame_fn(plan: _FramePlan, args):
                                   (H, W, 4)).astype(jnp.float32)
         products = _batch_vertex_products(plan, args, world)
         S = len(plan.surfaces)
-        clips, varys, valids, biases = [], [], [], []
+        mixed_cull = len({b.pipeline.cull_mode
+                          for s in plan.surfaces for b in s.batches}) > 1
+        clips, varys, valids, biases, culls = [], [], [], [], []
         for s_i, b, tri_clip, tri_vary, valid in products:
             bias = jnp.float32(2.0 * (S - 1 - s_i))
             clips.append(tri_clip)
             varys.append(tri_vary)
             valids.append(valid)
             biases.append(jnp.full(tri_clip.shape[0], bias, jnp.float32))
+            culls.append(np.full(tri_clip.shape[0],
+                                 rc.CULL_CODES[b.pipeline.cull_mode],
+                                 np.int32))
         tri_clip = jnp.concatenate(clips)
         tri_vary = jnp.concatenate(varys)
         valid = jnp.concatenate(valids)
         z_bias = jnp.concatenate(biases)
-        depth = jnp.full((H, W), 2.0 * (S - 1) + 1.0, jnp.float32)
         shared = plan.surfaces[0].batches[0].pipeline
+        cull = (jnp.asarray(np.concatenate(culls)) if mixed_cull
+                else shared.cull_mode)
+        depth = jnp.full((H, W), 2.0 * (S - 1) + 1.0, jnp.float32)
         _depth, fb, overflow = _raster_sub_batched(
             plan, tri_clip, tri_vary, valid, depth, fb,
-            shared.cull_mode, shared.fragment_fn, overflow,
-            z_bias=z_bias)
+            cull, shared.fragment_fn, overflow, z_bias=z_bias)
         return fb, overflow
 
     # sequential per-surface / per-batch path (oracle backend, mixed
@@ -367,8 +386,8 @@ def _frame_fn(plan: _FramePlan, args):
                         b.pipeline.cull_mode, b.pipeline.fragment_fn,
                         overflow)
             else:
-                tri_clip, tri_vary, valid, _zb, overflow = _clip_near(
-                    plan, tri_clip, tri_vary, valid, overflow)
+                tri_clip, tri_vary, valid, _zb, _cc, overflow = \
+                    _clip_near(plan, tri_clip, tri_vary, valid, overflow)
                 tc = rc.triangle_setup(tri_clip, tri_vary, valid, W, H,
                                        b.pipeline.cull_mode)
                 depth2, winner = raster_ref.rasterize_visibility(

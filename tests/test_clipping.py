@@ -80,7 +80,7 @@ def test_clipped_triangles_keep_facing():
     """Winding is preserved: the clipped pieces of a CW front-facing
     straddler pass triangle_setup's facing test (are not back-culled)."""
     clip, vary = straddler()
-    oc, ov, valid, _zb, ovf = rc.clip_near_capacity(
+    oc, ov, valid, _zb, _cc, ovf = rc.clip_near_capacity(
         clip, vary, jnp.ones(1, bool), cap=4)
     assert not bool(ovf)
     tc = rc.triangle_setup(oc, ov, valid, 64, 64, "back")
@@ -96,7 +96,7 @@ def test_clip_matches_manual_preclip_coverage():
     two compiled programs; bound the mismatch."""
     H = W = 96
     clip, vary = straddler()
-    oc, ov, valid, _zb, _ovf = rc.clip_near_capacity(
+    oc, ov, valid, _zb, _cc, _ovf = rc.clip_near_capacity(
         clip, vary, jnp.ones(1, bool), cap=4)
     tc = rc.triangle_setup(oc, ov, valid, W, H, "back")
     _d, win = rr.rasterize_visibility(tc, H, W)
@@ -136,7 +136,7 @@ def test_clip_backend_parity():
     sc, sv = straddler()
     clip = jnp.concatenate([clip[:10], sc, clip[10:]])
     vary = jnp.concatenate([vary[:10], sv, vary[10:]])
-    oc, ov, valid, _zb, _ovf = rc.clip_near_capacity(
+    oc, ov, valid, _zb, _cc, _ovf = rc.clip_near_capacity(
         clip, vary, jnp.ones(21, bool), cap=4)
     tc = rc.triangle_setup(oc, ov, valid, W, H, "back")
     d_ref, w_ref = rr.rasterize_visibility(tc, H, W)
@@ -151,7 +151,7 @@ def test_no_straddlers_is_identity():
     H, W = 32, 128
     clip, vary = random_triangles(12, seed=4)
     valid = jnp.ones(12, bool)
-    oc, ov, ovalid, _zb, ovf = rc.clip_near_capacity(clip, vary, valid,
+    oc, ov, ovalid, _zb, _cc, ovf = rc.clip_near_capacity(clip, vary, valid,
                                                      cap=8)
     assert not bool(ovf)
     tc0 = rc.triangle_setup(clip, vary, valid, W, H, "back")
@@ -165,9 +165,9 @@ def test_clip_capacity_overflow_flag():
     many_c, many_v = straddler()
     many_c = jnp.tile(many_c, (9, 1, 1))
     many_v = jnp.tile(many_v, (9, 1, 1))
-    _oc, _ov, _valid, _zb, ovf = rc.clip_near_capacity(
+    _oc, _ov, _valid, _zb, _cc, ovf = rc.clip_near_capacity(
         many_c, many_v, jnp.ones(9, bool), cap=8)
     assert bool(ovf)
-    _oc, _ov, _valid, _zb, ovf = rc.clip_near_capacity(
+    _oc, _ov, _valid, _zb, _cc, ovf = rc.clip_near_capacity(
         many_c, many_v, jnp.ones(9, bool), cap=16)
     assert not bool(ovf)

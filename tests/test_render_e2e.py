@@ -251,18 +251,21 @@ def test_late_big_list_overflow_triggers_rebuild():
     frame later) — no silent steady-state triangle drops."""
     from myrenderer_tpu.ops.raster_pallas import RasterConfig
 
+    # chunk 8 = the minimum (VMEM sublane alignment); capacity rounds up
+    # to a whole chunk, so 8 is the effective big capacity here
     cfg = RasterConfig(tile_h=8, tile_w=128, max_tiles_per_tri=1,
-                       big_capacity=4, chunk=4, interpret=True)
+                       big_capacity=8, chunk=8, interpret=True)
 
     def build(xform=None):
         rend, window = make_renderer(64, 64, backend="pallas")
         rend.raster_cfg = cfg
         pipe, layout = flat_pipeline(rend)
-        # 8 thin triangles inside the first 8px tile row (span = 1 tile)
+        # 12 thin triangles inside the first 8px tile row (span = 1
+        # tile) — more than the effective big capacity of 8
         pts = []
-        for i in range(8):
-            x = 0.05 + 0.11 * i
-            pts += [(x, 0.02), (x + 0.08, 0.02), (x, 0.1)]
+        for i in range(12):
+            x = 0.02 + 0.08 * i
+            pts += [(x, 0.02), (x + 0.06, 0.02), (x, 0.1)]
         node = triangle_node(rend, pipe, layout, pts)
         if xform is not None:
             node.set_xform(xform)

@@ -60,12 +60,22 @@ def make_variants(clip):
             for i in range(N_VARIANTS)]
 
 
+def _force(out):
+    # block_until_ready is NOT reliable through the axon relay: force a
+    # tiny host readback of every output to guarantee completion
+    for leaf in jax.tree.leaves(out):
+        np.asarray(leaf.ravel()[:1])
+
+
 def timeit(label, fn, variants, fixed, n=N_VARIANTS):
-    out = jax.block_until_ready(fn(variants[0], *fixed))   # warm/compile
+    """Force a readback after EVERY call: holding many in-flight results
+    can OOM the device, failed async executions report ready instantly,
+    and block_until_ready itself is unreliable through the relay.
+    Calibrate per-call overhead with the reported noop time."""
+    _force(fn(variants[0], *fixed))   # warm/compile
     t0 = time.perf_counter()
-    outs = [fn(variants[i % len(variants)], *fixed) for i in range(n)]
-    for o in outs:
-        jax.block_until_ready(o)
+    for i in range(n):
+        _force(fn(variants[i % len(variants)], *fixed))
     dt = (time.perf_counter() - t0) / n * 1000
     print(f"{label}: {dt:.3f} ms", flush=True)
     return dt
@@ -113,6 +123,9 @@ def main():
     print(f"T={T} {W}x{H} cfg={cfg}", flush=True)
 
     variants = make_variants(clip)
+
+    noop = jax.jit(lambda c, v, vl: c[0, 0, 0])
+    timeit("noop (overhead)  ", noop, variants, (vary, valid))
 
     setup = jax.jit(lambda c, v, vl: rc.triangle_setup(c, v, vl, W, H,
                                                        "back"))

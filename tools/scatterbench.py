@@ -22,12 +22,18 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
+def _force(out):
+    # block_until_ready is NOT reliable through the axon relay for some
+    # executions; a tiny host readback of each output forces completion
+    for leaf in jax.tree.leaves(out):
+        np.asarray(leaf.ravel()[:1])
+
+
 def timeit(label, fn, variants, n=8):
-    out = jax.block_until_ready(fn(*variants[0]))
+    _force(fn(*variants[0]))
     t0 = time.perf_counter()
-    outs = [fn(*variants[i % len(variants)]) for i in range(n)]
-    for o in outs:
-        jax.block_until_ready(o)
+    for i in range(n):
+        _force(fn(*variants[i % len(variants)]))
     dt = (time.perf_counter() - t0) / n * 1000
     print(f"{label}: {dt:.3f} ms", flush=True)
     return dt
