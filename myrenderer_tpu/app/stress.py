@@ -72,6 +72,11 @@ class StressApp:
         self.window = self.core.create_window(width, height, "stress")
         self.renderer = Renderer(self.core, raster_backend=backend)
         self.renderer.adopt_window(self.window)
+        # megatriangle tuning: 16-row tiles halve the kernel's per-entry
+        # pixel waste at sub-pixel triangle sizes (kbench tile sweep);
+        # the demo-scale default stays 32
+        from ..ops.raster_pallas import RasterConfig
+        self.renderer.raster_cfg = RasterConfig(tile_h=16)
 
         hm = default_heightmap(terrain_size)
         terrain_mod = Terrain(self.renderer)

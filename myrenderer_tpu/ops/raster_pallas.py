@@ -183,13 +183,20 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     tile_flat = tile.reshape(-1)
     tri_flat = jnp.broadcast_to(tri_idx[:, None], (T, K)).reshape(-1)
     tile_range = jnp.arange(NT, dtype=jnp.int32)
-    if (NT + 1) * (T + 1) < 2**31:
-        keys = jnp.sort(tile_flat * (T + 1) + tri_flat, stable=False)
-        starts = jnp.searchsorted(keys, tile_range * (T + 1)).astype(
-            jnp.int32)
-        ends = jnp.searchsorted(keys, (tile_range + 1) * (T + 1)).astype(
-            jnp.int32)
-        tri_sorted = jnp.clip(keys % (T + 1), 0,
+    key_space = (NT + 1) * (T + 1)
+    if key_space < 2**32:
+        # fused unique key (u32 when the i32 range is too small — e.g.
+        # 16-row tiles at 4K): ONE single-operand sort, several times
+        # faster than the variadic two-key sort
+        dt = jnp.int32 if key_space < 2**31 else jnp.uint32
+        keys = jnp.sort(tile_flat.astype(dt) * dt(T + 1)
+                        + tri_flat.astype(dt), stable=False)
+        starts = jnp.searchsorted(
+            keys, tile_range.astype(dt) * dt(T + 1)).astype(jnp.int32)
+        ends = jnp.searchsorted(
+            keys, (tile_range + 1).astype(dt) * dt(T + 1)).astype(
+                jnp.int32)
+        tri_sorted = jnp.clip(keys % dt(T + 1), 0,
                               max(T - 1, 0)).astype(jnp.int32)
     else:
         tile_sorted, tri_sorted = lax.sort((tile_flat, tri_flat),
@@ -227,8 +234,12 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     # pad records to full 128-lane rows BEFORE the gather: XLA row
     # gathers from a [T, 128] table run ~5x faster per row than from
     # [T, 32] (narrow rows hit a slow sublane path). 4x the bytes, but
-    # the gather is row-overhead-bound, not bandwidth-bound.
-    packed128 = jnp.pad(packed, ((0, 0), (0, 128 - LANES)))
+    # the gather is row-overhead-bound, not bandwidth-bound. The
+    # optimization_barrier is load-bearing: without it XLA commutes the
+    # pad past the gather ("gather less data") and the slow narrow
+    # gather comes back — measured 93 ms vs ~15 ms per stress frame.
+    packed128 = lax.optimization_barrier(
+        jnp.pad(packed, ((0, 0), (0, 128 - LANES))))
     idx_cap = tri_sorted[:S]
     if idx_cap.shape[0] < S:
         idx_cap = jnp.pad(idx_cap, (0, S - idx_cap.shape[0]))
