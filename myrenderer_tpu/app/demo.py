@@ -53,6 +53,7 @@ class DemoApp:
     backend: str = "auto"
     fixed_timestep: Optional[float] = 1.0 / 60.0
     mesh: Optional[object] = None           # multi-chip row-shard mesh
+    raster: Optional[object] = None         # RasterConfig override
 
     def __post_init__(self):
         self.core = Core(fixed_timestep=self.fixed_timestep)
@@ -60,6 +61,8 @@ class DemoApp:
                                               "Platypro's Thing")
         self.renderer = Renderer(self.core, raster_backend=self.backend,
                                  mesh=self.mesh)
+        if self.raster is not None:
+            self.renderer.raster_cfg = self.raster
         self.renderer.adopt_window(self.window)
 
         terrain_mod = Terrain(self.renderer)
@@ -124,11 +127,22 @@ def main(argv=None):
                     help="print steady-state ms/frame")
     ap.add_argument("--dump-dir", default=None,
                     help="write every frame as frame_%%04d.png")
+    ap.add_argument("--raster", default=None,
+                    help="RasterConfig override 'th,tw,chunk,window"
+                         "[,tiles_x]' (kernel tuning sweeps)")
     args = ap.parse_args(argv)
 
+    raster = None
+    if args.raster:
+        from ..ops.raster_pallas import RasterConfig
+        vals = [int(v) for v in args.raster.split(",")]
+        th, tw, chunk, window = vals[:4]
+        raster = RasterConfig(tile_h=th, tile_w=tw, chunk=chunk,
+                              stream_window=window,
+                              tiles_x=vals[4] if len(vals) > 4 else 4)
     w, h = (int(v) for v in args.size.split("x"))
     app = DemoApp(width=w, height=h, heightmap=args.heightmap,
-                  backend=args.backend)
+                  backend=args.backend, raster=raster)
 
     if args.dump_dir:
         import os

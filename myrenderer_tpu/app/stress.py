@@ -73,10 +73,14 @@ class StressApp:
         self.renderer = Renderer(self.core, raster_backend=backend)
         self.renderer.adopt_window(self.window)
         # megatriangle tuning: 16-row tiles halve the kernel's per-entry
-        # pixel waste at sub-pixel triangle sizes (kbench tile sweep);
-        # the demo-scale default stays 32
+        # pixel waste at sub-pixel triangle sizes, small chunks cut
+        # boundary-chunk waste, 6 tiles per program amortize the
+        # per-program fixed cost (kbench/demo sweeps); the demo-scale
+        # default stays 32-row tiles
         from ..ops.raster_pallas import RasterConfig
-        self.renderer.raster_cfg = RasterConfig(tile_h=16)
+        self.renderer.raster_cfg = RasterConfig(tile_h=16, chunk=32,
+                                                stream_window=128,
+                                                tiles_x=6)
 
         hm = default_heightmap(terrain_size)
         terrain_mod = Terrain(self.renderer)

@@ -79,9 +79,16 @@ class RasterConfig:
                                   # (the demo orbit peaks at 72
                                   # straddlers when the camera skims the
                                   # terrain; overflow = recompile hitch)
-    chunk: int = 64               # entries per inner step (evaluated as
-                                  # 4 lane-blocks of chunk/4 triangles)
-    stream_window: int = 512      # coefficient rows per DMA window
+    chunk: int = 16               # entries per inner eval block (small
+                                  # chunks cut boundary-chunk waste at
+                                  # sparse tiles: demo 1080p 10.3 ms at
+                                  # 64 -> 7.95 ms at 16)
+    stream_window: int = 128      # coefficient rows per DMA window
+    tiles_x: int = 1              # consecutive x-tiles per kernel
+                                  # program (amortizing per-program
+                                  # fixed costs measured NEUTRAL to
+                                  # harmful on this hardware — kept as
+                                  # a sweep knob, default off)
     stream_factor: float = 2.0    # stream capacity = factor * T rows
                                   # (live incidences are ~1.3-1.7 per
                                   # triangle; dead K*T slack sorts to the
@@ -283,166 +290,178 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                    depth_in_ref, fused_ref, winner_ref,
                    stream_scratch, dma_sems,
                    *, tile_h: int, tile_w: int, base_index: int,
-                   chunk: int, window: int):
-    """One program = one (tile_h, tile_w) framebuffer tile.
+                   chunk: int, window: int, tiles_x: int, ntx: int):
+    """One program = ``tiles_x`` consecutive (tile_h, tile_w)
+    framebuffer tiles along x (multi-tile programs amortize the ~5 us
+    per-program fixed cost — startup, loop setup, first-window DMA
+    latency — across tiles; BASELINE.md lever 2).
 
-    Streams the tile's CSR segment of the pre-gathered coefficient-row
+    Per tile: stream its CSR segment of the pre-gathered coefficient-row
     stream in ``window``-row DMA windows (window boundaries are fixed
     multiples of ``window`` in the global stream, so transfers are
     always aligned), double-buffered: window b+1 transfers while window
-    b evaluates, and the tile epilogue prefetches the NEXT tile's first
-    window into the buffer it will look in. Rows are evaluated in
-    ``chunk``-row sub-blocks as (G, THW) outer-product FMAs with a
-    min-reduce depth resolve (lowest-id tie-break == submission-order
-    'less' semantics; bins are ascending by construction)."""
+    b evaluates, and each tile's epilogue prefetches the NEXT tile's
+    first window (within the program or across the program boundary)
+    into the buffer it will look in. Rows are evaluated in ``chunk``-row
+    sub-blocks as (G, THW) outer-product FMAs with a min-reduce depth
+    resolve (lowest-id tie-break == submission-order 'less' semantics;
+    bins are ascending by construction)."""
     THW = tile_h * tile_w
     G = chunk
     W = window
+    R = tiles_x
     ty = pl.program_id(0)
-    tx = pl.program_id(1)
+    txg = pl.program_id(1)
     nty = pl.num_programs(0)
-    ntx = pl.num_programs(1)
-    t = ty * ntx + tx
+    NT = nty * ntx
 
-    flat = lax.broadcasted_iota(jnp.int32, (1, THW), 1)
-    px = ((flat % tile_w) + tx * tile_w).astype(jnp.float32) + 0.5
-    # y0: global row of the band's first row (multi-chip row shards);
-    # coverage/depth math always runs in GLOBAL pixel coordinates
-    py = ((flat // tile_w) + ty * tile_h + y0_ref[0]).astype(
-        jnp.float32) + 0.5
-
-    start = starts_ref[t]
-    n = counts_ref[t]
-    end = start + n
-    # skip the shared big-triangle loop on tiles no big bbox touches
-    nbig = jnp.where(big_touch_ref[t] > 0, big_count_ref[0], 0)
-
-    def eval_block(sub, lane_base, live, carry):
-        """sub: (g, >= lane_base + LANES) coefficient rows — a (G, 128)
-        stream window slice or the (g, 32) big-list rows. live: (g, 1)
-        slot mask. Coefficients are consumed as single-lane slices
-        (cheap at any static lane offset)."""
-        depth, winner, nums, den = carry
-        g = sub.shape[0]
-
-        def lane(k):
-            return sub[:, lane_base + k:lane_base + k + 1]
-
-        scalars = tuple(lane(k) for k in range(rc.COEFF_LANES))
-        cov, z = rc.coverage_depth(scalars, px, py)    # (g, THW)
-        cov = cov & live
-        # sentinel must exceed ANY representable depth (layer-biased
-        # merged passes go beyond 1.0)
-        zm = jnp.where(cov, z, jnp.float32(jnp.inf))
-        ids = jnp.broadcast_to(lane(16), (g, THW))
-        zmin = jnp.min(zm, axis=0, keepdims=True)      # (1, THW)
-        idmin = jnp.min(jnp.where(zm == zmin, ids, jnp.float32(3e38)),
-                        axis=0, keepdims=True)
-        win = zmin < depth
-
-        # varying planes of the winning row (exactly one row matches)
-        is_win_row = cov & (zm == zmin) & (ids == idmin)
-        wf = is_win_row.astype(jnp.float32)
-
-        def plane(ka, kb, kc):
-            val = lane(ka) * px + lane(kb) * py + lane(kc)
-            return jnp.sum(wf * val, axis=0, keepdims=True)
-
-        den_c = plane(17, 18, 19)
-        nums_c = tuple(plane(20 + 3 * ch, 21 + 3 * ch, 22 + 3 * ch)
-                       for ch in range(4))
-
-        idw = idmin.astype(jnp.int32) + jnp.int32(base_index)
-        return (jnp.where(win, zmin, depth),
-                jnp.where(win, idw, winner),
-                tuple(jnp.where(win, nc, old)
-                      for nc, old in zip(nums_c, nums)),
-                jnp.where(win, den_c, den))
-
-    # --- binned triangles: double-buffered stream windows ---------------
-    # one entry per 128-lane stream row (lanes [COEFF..128) are pad); a
-    # window is W rows
     def window_dma(blk, slot):
         return pltpu.make_async_copy(
             stream_hbm.at[pl.ds(blk * W, W), :],
             stream_scratch.at[slot], dma_sems.at[slot])
 
-    blk0 = lax.div(start, W)
-    nblk = jnp.where(n > 0, lax.div(end - 1, W) + 1 - blk0, 0)
-
-    # window 0 of the FIRST nonempty tile has no predecessor to prefetch
-    # it; every later tile's window 0 is prefetched by the previous
-    # program's epilogue (below)
-    @pl.when((t == 0) & (nblk > 0))
-    def _():
-        window_dma(blk0, blk0 % 2).start()
-
     r_iota = lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+    flat = lax.broadcasted_iota(jnp.int32, (1, THW), 1)
+    # y0: global row of the band's first row (multi-chip row shards);
+    # coverage/depth math always runs in GLOBAL pixel coordinates
+    py = ((flat // tile_w) + ty * tile_h + y0_ref[0]).astype(
+        jnp.float32) + 0.5
 
-    def block_body(b, carry):
-        blk = blk0 + b
-        slot = lax.rem(blk, 2)
+    for r in range(R):
+        tx = txg * R + r
+        t = ty * ntx + tx
+        px = ((flat % tile_w) + tx * tile_w).astype(jnp.float32) + 0.5
 
-        @pl.when(b + 1 < nblk)
+        start = starts_ref[t]
+        n = counts_ref[t]
+        end = start + n
+        # skip the shared big-triangle loop on untouched tiles
+        nbig = jnp.where(big_touch_ref[t] > 0, big_count_ref[0], 0)
+
+        def eval_block(sub, lane_base, live, carry, px=px):
+            """sub: (g, >= lane_base + LANES) coefficient rows — a
+            (G, 128) stream window slice or the (g, 32) big-list rows.
+            live: (g, 1) slot mask. Coefficients are consumed as
+            single-lane slices (cheap at any static lane offset)."""
+            depth, winner, nums, den = carry
+            g = sub.shape[0]
+
+            def lane(k):
+                return sub[:, lane_base + k:lane_base + k + 1]
+
+            scalars = tuple(lane(k) for k in range(rc.COEFF_LANES))
+            cov, z = rc.coverage_depth(scalars, px, py)    # (g, THW)
+            cov = cov & live
+            # sentinel must exceed ANY representable depth (layer-
+            # biased merged passes go beyond 1.0)
+            zm = jnp.where(cov, z, jnp.float32(jnp.inf))
+            ids = jnp.broadcast_to(lane(16), (g, THW))
+            zmin = jnp.min(zm, axis=0, keepdims=True)      # (1, THW)
+            idmin = jnp.min(jnp.where(zm == zmin, ids,
+                                      jnp.float32(3e38)),
+                            axis=0, keepdims=True)
+            win = zmin < depth
+
+            # varying planes of the winning row (exactly one matches)
+            is_win_row = cov & (zm == zmin) & (ids == idmin)
+            wf = is_win_row.astype(jnp.float32)
+
+            def plane(ka, kb, kc):
+                val = lane(ka) * px + lane(kb) * py + lane(kc)
+                return jnp.sum(wf * val, axis=0, keepdims=True)
+
+            den_c = plane(17, 18, 19)
+            nums_c = tuple(plane(20 + 3 * ch, 21 + 3 * ch, 22 + 3 * ch)
+                           for ch in range(4))
+
+            idw = idmin.astype(jnp.int32) + jnp.int32(base_index)
+            return (jnp.where(win, zmin, depth),
+                    jnp.where(win, idw, winner),
+                    tuple(jnp.where(win, nc, old)
+                          for nc, old in zip(nums_c, nums)),
+                    jnp.where(win, den_c, den))
+
+        # --- binned triangles: double-buffered stream windows ----------
+        # one entry per 128-lane stream row (lanes [COEFF..128) = pad);
+        # a window is W rows
+        blk0 = lax.div(start, W)
+        nblk = jnp.where(n > 0, lax.div(end - 1, W) + 1 - blk0, 0)
+
+        if r == 0:
+            # window 0 of the FIRST nonempty tile has no predecessor to
+            # prefetch it; every later tile's window 0 is prefetched by
+            # the previous tile's epilogue (below)
+            @pl.when((t == 0) & (nblk > 0))
+            def _():
+                window_dma(blk0, blk0 % 2).start()
+
+        def block_body(b, carry, blk0=blk0, nblk=nblk, start=start,
+                       end=end, eval_block=eval_block):
+            blk = blk0 + b
+            slot = lax.rem(blk, 2)
+
+            @pl.when(b + 1 < nblk)
+            def _():
+                window_dma(blk + 1, lax.rem(blk + 1, 2)).start()
+
+            window_dma(blk, slot).wait()
+
+            wbase = blk * W
+            # chunk sub-blocks at fixed window-aligned offsets:
+            # boundary chunks carry dead slots masked by `live` (never
+            # read past the window; G divides W)
+            c0 = lax.div(jnp.maximum(start - wbase, 0), G)
+            c1 = lax.div(jnp.minimum(end - wbase, W) + G - 1, G)
+
+            def chunk_body(ci, carry):
+                rows = stream_scratch[slot, pl.ds(ci * G, G), :]
+                pos = wbase + ci * G + r_iota
+                live = (pos >= start) & (pos < end)
+                return eval_block(rows, 0, live, carry)
+
+            return lax.fori_loop(c0, c1, chunk_body, carry)
+
+        carry = (depth_in_ref[:, r * tile_w:(r + 1) * tile_w]
+                 .reshape(1, THW),
+                 jnp.full((1, THW), -1, jnp.int32),
+                 tuple(jnp.zeros((1, THW), jnp.float32)
+                       for _ in range(4)),
+                 jnp.ones((1, THW), jnp.float32))
+        carry = lax.fori_loop(0, nblk, block_body, carry)
+
+        # epilogue: prefetch the NEXT tile's first window while this
+        # tile's big loop and output writes run (within the program and
+        # across the program boundary — tiles are visited in global
+        # row-major order either way). Scratch and semaphores persist;
+        # the buffer parity matches what the next tile will wait on.
+        @pl.when(t + 1 < NT)
         def _():
-            window_dma(blk + 1, lax.rem(blk + 1, 2)).start()
+            nstart = starts_ref[t + 1]
+            nn = counts_ref[t + 1]
+            nblk0 = lax.div(nstart, W)
+            # always re-transfer, even when the next tile's first
+            # window is the one just used: the next tile WILL wait on
+            # this semaphore, so skipping the start would deadlock it
+            @pl.when(nn > 0)
+            def _():
+                window_dma(nblk0, lax.rem(nblk0, 2)).start()
 
-        window_dma(blk, slot).wait()
+        # big triangles after binned ones (ties-only order deviation)
+        def big_chunk(ci, carry, nbig=nbig, eval_block=eval_block):
+            sub = big_ref[0, pl.ds(ci * G, G), :]
+            slot = r_iota + ci * G
+            return eval_block(sub, 0, slot < nbig, carry)
 
-        wbase = blk * W
-        # chunk sub-blocks at fixed window-aligned offsets: boundary
-        # chunks carry dead slots masked by `live` (never read past the
-        # window; G divides W)
-        c0 = lax.div(jnp.maximum(start - wbase, 0), G)
-        c1 = lax.div(jnp.minimum(end - wbase, W) + G - 1, G)
+        depth, winner, nums, den = lax.fori_loop(
+            0, lax.div(nbig + G - 1, G), big_chunk, carry)
 
-        def chunk_body(ci, carry):
-            rows = stream_scratch[slot, pl.ds(ci * G, G), :]   # (G,128)
-            pos = wbase + ci * G + r_iota
-            live = (pos >= start) & (pos < end)
-            return eval_block(rows, 0, live, carry)
-
-        return lax.fori_loop(c0, c1, chunk_body, carry)
-
-    carry = (depth_in_ref[...].reshape(1, THW),
-             jnp.full((1, THW), -1, jnp.int32),
-             tuple(jnp.zeros((1, THW), jnp.float32) for _ in range(4)),
-             jnp.ones((1, THW), jnp.float32))
-    carry = lax.fori_loop(0, nblk, block_body, carry)
-
-    # epilogue: prefetch the NEXT tile's first window while this tile's
-    # big loop and output writes run (and across the inter-program
-    # boundary). Scratch and semaphores persist across grid steps; the
-    # target buffer parity matches what the next program will wait on.
-    is_last = t + 1 >= nty * ntx
-
-    @pl.when(~is_last)
-    def _():
-        nstart = starts_ref[t + 1]
-        nn = counts_ref[t + 1]
-        nblk0 = lax.div(nstart, W)
-        # always re-transfer, even when the next tile's first window is
-        # the one just used: the next program WILL wait on this
-        # semaphore, so skipping the start would deadlock it
-        @pl.when(nn > 0)
-        def _():
-            window_dma(nblk0, lax.rem(nblk0, 2)).start()
-
-    # big triangles after binned ones (ties-only order deviation)
-    def big_chunk(ci, carry):
-        sub = big_ref[0, pl.ds(ci * G, G), :]
-        slot = r_iota + ci * G
-        return eval_block(sub, 0, slot < nbig, carry)
-
-    depth, winner, nums, den = lax.fori_loop(
-        0, lax.div(nbig + G - 1, G), big_chunk, carry)
-
-    # one fused f32 out block: [0]=depth, [1]=den, [2:6]=varying nums
-    fused_ref[...] = jnp.concatenate(
-        [depth.reshape(1, tile_h, tile_w),
-         den.reshape(1, tile_h, tile_w)]
-        + [nc.reshape(1, tile_h, tile_w) for nc in nums], axis=0)
-    winner_ref[...] = winner.reshape(tile_h, tile_w)
+        # fused f32 out lanes: [0]=depth, [1]=den, [2:6]=varying nums
+        fused_ref[:, :, r * tile_w:(r + 1) * tile_w] = jnp.concatenate(
+            [depth.reshape(1, tile_h, tile_w),
+             den.reshape(1, tile_h, tile_w)]
+            + [nc.reshape(1, tile_h, tile_w) for nc in nums], axis=0)
+        winner_ref[:, r * tile_w:(r + 1) * tile_w] = winner.reshape(
+            tile_h, tile_w)
 
 
 def rasterize(tc: rc.TriCoeffs, height: int, width: int,
@@ -500,15 +519,19 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
     depth_p = jnp.pad(depth, ((0, ph - height), (0, pw - width)),
                       constant_values=1.0)
 
+    # multi-tile programs: the largest divisor of the column count that
+    # is <= cfg.tiles_x (so the grid tiles the frame exactly)
+    R = max(r for r in range(1, max(cfg.tiles_x, 1) + 1) if ntx % r == 0)
+
     kernel = functools.partial(_raster_kernel, tile_h=cfg.tile_h,
                                tile_w=cfg.tile_w, base_index=base_index,
-                               chunk=chunk, window=W)
-    tile_spec = pl.BlockSpec((cfg.tile_h, cfg.tile_w),
+                               chunk=chunk, window=W, tiles_x=R, ntx=ntx)
+    tile_spec = pl.BlockSpec((cfg.tile_h, R * cfg.tile_w),
                              lambda ty, tx: (ty, tx),
                              memory_space=pltpu.VMEM)
     fused, winner = pl.pallas_call(
         kernel,
-        grid=(nty, ntx),
+        grid=(nty, ntx // R),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),           # y0
             pl.BlockSpec(memory_space=pltpu.SMEM),           # starts
@@ -520,7 +543,7 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
                          memory_space=pltpu.VMEM),           # big rows
             tile_spec,                                       # depth in
         ],
-        out_specs=[pl.BlockSpec((6, cfg.tile_h, cfg.tile_w),
+        out_specs=[pl.BlockSpec((6, cfg.tile_h, R * cfg.tile_w),
                                 lambda ty, tx: (0, ty, tx),
                                 memory_space=pltpu.VMEM),
                    tile_spec],
