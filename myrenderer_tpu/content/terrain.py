@@ -88,11 +88,19 @@ def _make_vertex_batch_fn(size: int):
 
     The terrain is a regular grid, so per-vertex heightmap gathers
     become four *shifted views* of the flat height array — zero gathers,
-    pure slices and broadcast arithmetic, then one [V,4]x[4,4] matmul.
-    The flat-index clamp (robust-buffer-access semantics of the
-    reference's out-of-bounds ``quad + size + 1`` lookups,
-    ``Terrain.zig:38-45``) is reproduced by extending the flat array
-    with copies of its last element.
+    pure slices and broadcast arithmetic. The flat-index clamp
+    (robust-buffer-access semantics of the reference's out-of-bounds
+    ``quad + size + 1`` lookups, ``Terrain.zig:38-45``) is reproduced by
+    extending the flat array with copies of its last element.
+
+    Emits the interleaved [V, 4] stream (matmul + reshape). A fully
+    PLANAR formulation (per-slot FMA chains + [3, 4, T] interleave
+    stacks, the planar end-to-end vertex interface) was built and
+    measured NET-NEGATIVE here: the 24 slot-interleave stacks lower to
+    T(2,128)-tiled slice copies (~1.2 ms each at the 1M-tri stretch,
+    ~+20 ms/frame total) — more than the [V,4]x[4,4] matmul and
+    [T,3,4] relayouts they replace. Keep interleaved unless the planar
+    producer is genuinely relayout-free.
     """
     s2 = size * size
     fsize = jnp.float32(size)
@@ -105,8 +113,6 @@ def _make_vertex_batch_fn(size: int):
         # per-quad corner tables (static, [6])
         corner_x = jnp.asarray(_QUAD_VALS[:, 0])[None, :]    # [1, 6]
         corner_z = jnp.asarray(_QUAD_VALS[:, 1])[None, :]
-        row_off = jnp.asarray(_LOOKUP_ROW)
-        col_off = jnp.asarray(_LOOKUP_COL)
 
         quad = jnp.arange(s2, dtype=jnp.int32)
         qx = (quad // size).astype(jnp.float32)[:, None]     # [s2, 1]
@@ -116,14 +122,9 @@ def _make_vertex_batch_fn(size: int):
 
         clips, varys = [], []
         for i in range(n_inst):
-            if n_inst == 1:
-                hm = ctx.binding(1)[0]
-                uniform = ctx.binding(0)[0]
-                world = ctx.worlds[0]
-            else:
-                hm = ctx.binding(1)[i]
-                uniform = ctx.binding(0)[i]
-                world = ctx.worlds[i]
+            hm = ctx.binding(1)[0 if n_inst == 1 else i]
+            uniform = ctx.binding(0)[0 if n_inst == 1 else i]
+            world = ctx.worlds[0 if n_inst == 1 else i]
             # flat-clamped shifted views: index q + d reads
             # hm_ext[q + d] where hm_ext pads with the last element
             hm_ext = jnp.concatenate(

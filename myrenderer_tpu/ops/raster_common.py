@@ -67,6 +67,43 @@ CULL_CODES = {"back": CULL_BACK, "front": CULL_FRONT, "none": CULL_NONE}
 COEFF_LANES = 16
 
 
+class PlanarTris(NamedTuple):
+    """Planar (structure-of-arrays) triangle batch: ``clip`` f32[3, 4, T]
+    (corner, component, triangle) and ``vary`` f32[3, C, T].
+
+    The planar end-to-end vertex interface: batch vertex functions that
+    naturally compute per-corner channels (e.g. the terrain's regular
+    grid) emit this instead of interleaved [V, 4] streams, and
+    triangle_setup consumes it directly — skipping the [V, 4] ->
+    [T, 3, 4] -> [3, 4, T] relayouts that pad horribly in TPU tiled
+    layouts (each was ~1 ms/frame at the 1M-triangle stretch config).
+    """
+
+    clip: jax.Array     # f32[3, 4, T]
+    vary: jax.Array     # f32[3, C, T]
+
+    @property
+    def count(self) -> int:
+        return self.clip.shape[2]
+
+    @staticmethod
+    def from_interleaved(tri_clip: jax.Array,
+                         tri_vary: jax.Array) -> "PlanarTris":
+        """[T, 3, 4]/[T, 3, C] -> planar (one transpose each)."""
+        return PlanarTris(jnp.transpose(tri_clip, (1, 2, 0)),
+                          jnp.transpose(tri_vary, (1, 2, 0)))
+
+    def interleaved(self) -> tuple[jax.Array, jax.Array]:
+        """Planar -> ([T, 3, 4], [T, 3, C])."""
+        return (jnp.transpose(self.clip, (2, 0, 1)),
+                jnp.transpose(self.vary, (2, 0, 1)))
+
+    def concat(self, *others: "PlanarTris") -> "PlanarTris":
+        return PlanarTris(
+            jnp.concatenate([self.clip] + [o.clip for o in others], 2),
+            jnp.concatenate([self.vary] + [o.vary for o in others], 2))
+
+
 class TriCoeffs(NamedTuple):
     """Per-triangle linear coefficients, all shaped [T, ...]."""
 
@@ -88,9 +125,10 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
                    z_bias: jax.Array | None = None) -> TriCoeffs:
     """Assemble per-triangle linear coefficients.
 
-    tri_clip: f32[T, 3, 4] clip positions, tri_vary: f32[T, 3, C]
-    varyings, valid: bool[T] submission-level validity (padding /
-    culled instances).
+    tri_clip: f32[T, 3, 4] clip positions (tri_vary: f32[T, 3, C]
+    varyings) OR a :class:`PlanarTris` (then ``tri_vary`` is ignored —
+    the planar fast path, no relayouts). valid: bool[T]
+    submission-level validity (padding / culled instances).
 
     Culling reproduces ``Pipeline.zig:145-149``: front face is clockwise
     in framebuffer space; ``cull_mode='back'`` keeps det > 0 only (which
@@ -106,10 +144,16 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
     """
     f32 = jnp.float32
     # All math on flat [T] vectors: a [T, 3]-shaped op uses 3 of the
-    # VPU's 128 lanes; flat vectors use all of them. One up-front
+    # VPU's 128 lanes; flat vectors use all of them. Planar input skips
+    # the relayout entirely; interleaved input pays one up-front
     # transpose instead of 12 strided extracts (strided loads from
     # [T, 3, 4] were the dominant cost of this function).
-    cpl = jnp.transpose(tri_clip.astype(f32), (1, 2, 0))   # [3, 4, T]
+    if isinstance(tri_clip, PlanarTris):
+        cpl = tri_clip.clip.astype(f32)                    # [3, 4, T]
+        vpl = tri_clip.vary.astype(f32)                    # [3, C, T]
+    else:
+        cpl = jnp.transpose(tri_clip.astype(f32), (1, 2, 0))  # [3, 4, T]
+        vpl = jnp.transpose(tri_vary.astype(f32), (1, 2, 0))  # [3, C, T]
     xs = [cpl[k, 0] for k in range(3)]
     ys = [cpl[k, 1] for k in range(3)]
     zs = [cpl[k, 2] for k in range(3)]
@@ -179,8 +223,7 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
     en_abc = jnp.stack([aa[0] + aa[1] + aa[2],
                         bb[0] + bb[1] + bb[2],
                         cc[0] + cc[1] + cc[2]], axis=1)
-    C = tri_vary.shape[-1]
-    vpl = jnp.transpose(tri_vary.astype(f32), (1, 2, 0))   # [3, C, T]
+    C = vpl.shape[1]
     cols = [[vpl[k, ch] for k in range(3)] for ch in range(C)]
     col_abc = jnp.stack([plane(cols[ch]) for ch in range(C)],
                         axis=-1)                 # [T, 3, C]
@@ -265,10 +308,17 @@ def clip_near_capacity(tri_clip: jax.Array, tri_vary: jax.Array,
     submission order; only exact depth ties against later triangles can
     observe this.
     """
-    T = tri_clip.shape[0]
-    w = tri_clip[..., 3]
-    some_in = (w > W_EPS).any(-1)
-    some_out = (w <= W_EPS).any(-1)
+    planar = isinstance(tri_clip, PlanarTris)
+    if planar:
+        T = tri_clip.count
+        w = tri_clip.clip[:, 3, :]                       # [3, T]
+        some_in = (w > W_EPS).any(0)
+        some_out = (w <= W_EPS).any(0)
+    else:
+        T = tri_clip.shape[0]
+        w = tri_clip[..., 3]
+        some_in = (w > W_EPS).any(-1)
+        some_out = (w <= W_EPS).any(-1)
     straddle = valid & some_in & some_out
 
     tri_idx = jnp.arange(T, dtype=jnp.int32)
@@ -280,6 +330,29 @@ def clip_near_capacity(tri_clip: jax.Array, tri_vary: jax.Array,
     sel_live = sel < T
     sel = jnp.minimum(sel, max(T - 1, 0))
     overflow = straddle.sum(dtype=jnp.int32) > cap
+
+    if planar:
+        # straddler extraction is tiny (<= cap rows): planar -> small
+        # interleaved slices for the S-H clipper, planar back for concat
+        sel_clip = jnp.transpose(tri_clip.clip[:, :, sel], (2, 0, 1))
+        sel_vary = jnp.transpose(tri_clip.vary[:, :, sel], (2, 0, 1))
+        (t1c, t1v, t2c, t2v, v1, v2) = _clip_straddlers(sel_clip,
+                                                        sel_vary)
+        v1 = v1 & sel_live
+        v2 = v2 & sel_live
+        out_clip = tri_clip.concat(
+            PlanarTris.from_interleaved(t1c, t1v),
+            PlanarTris.from_interleaved(t2c, t2v))
+        out_vary = None
+        out_valid = jnp.concatenate([valid, v1, v2])
+        if z_bias is not None:
+            zb = z_bias[sel]
+            z_bias = jnp.concatenate([z_bias, zb, zb])
+        if cull_codes is not None:
+            cc = cull_codes[sel]
+            cull_codes = jnp.concatenate([cull_codes, cc, cc])
+        return out_clip, out_vary, out_valid, z_bias, cull_codes, \
+            overflow
 
     (t1c, t1v, t2c, t2v, v1, v2) = _clip_straddlers(tri_clip[sel],
                                                     tri_vary[sel])

@@ -142,7 +142,6 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     ``y0`` may be a traced scalar (each shard binds its own offset).
     Triangles outside the band clamp to border tiles and are rejected
     by the kernel's (global-coordinate) coverage test."""
-    T = tri_clip.shape[0]
     vp_height = height if vp_height is None else vp_height
     y0 = jnp.asarray(y0, jnp.float32)
     nty = _cdiv(height, cfg.tile_h)
@@ -152,14 +151,25 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     B, _chunk = _big_geometry(cfg)
     W = cfg.stream_window
 
-    w = jnp.maximum(tri_clip[..., 3], rc.W_EPS)
-    u = (0.5 * tri_clip[..., 0] / w + 0.5) * width       # [T, 3] pixel x
-    v = (0.5 - 0.5 * tri_clip[..., 1] / w) * vp_height   # [T, 3] pixel y
+    if isinstance(tri_clip, rc.PlanarTris):
+        # planar fast path: [3, T] per-corner channels, min over corners
+        T = tri_clip.count
+        c = tri_clip.clip
+        w = jnp.maximum(c[:, 3, :], rc.W_EPS)            # [3, T]
+        u = (0.5 * c[:, 0, :] / w + 0.5) * width
+        v = (0.5 - 0.5 * c[:, 1, :] / w) * vp_height
+        corner_axis = 0
+    else:
+        T = tri_clip.shape[0]
+        w = jnp.maximum(tri_clip[..., 3], rc.W_EPS)
+        u = (0.5 * tri_clip[..., 0] / w + 0.5) * width   # [T, 3] pixel x
+        v = (0.5 - 0.5 * tri_clip[..., 1] / w) * vp_height
+        corner_axis = 1
 
-    minx = jnp.clip(jnp.floor(u.min(1)), 0, width - 1)
-    maxx = jnp.clip(jnp.ceil(u.max(1)), 0, width - 1)
-    miny = jnp.clip(jnp.floor(v.min(1)) - y0, 0, height - 1)
-    maxy = jnp.clip(jnp.ceil(v.max(1)) - y0, 0, height - 1)
+    minx = jnp.clip(jnp.floor(u.min(corner_axis)), 0, width - 1)
+    maxx = jnp.clip(jnp.ceil(u.max(corner_axis)), 0, width - 1)
+    miny = jnp.clip(jnp.floor(v.min(corner_axis)) - y0, 0, height - 1)
+    maxy = jnp.clip(jnp.ceil(v.max(corner_axis)) - y0, 0, height - 1)
 
     tx0 = (minx / cfg.tile_w).astype(jnp.int32)
     tx1 = (maxx / cfg.tile_w).astype(jnp.int32)

@@ -161,14 +161,22 @@ def run_vertex_stage(vertex_fn: Callable, vertex_index: jax.Array,
 
     When the pipeline supplies ``vertex_batch_fn`` it receives the whole
     stream at once (dense, gather-free formulations — e.g. the terrain's
-    regular grid); otherwise ``vertex_fn`` is vmapped per vertex.
+    regular grid); otherwise ``vertex_fn`` is vmapped per vertex. A
+    batch function may return a :class:`raster_common.PlanarTris`
+    instead of interleaved (clip, vary) — the planar end-to-end path
+    (returned as ``(planar, None)``; the rasterizer consumes it with no
+    relayouts).
     """
     if draw_instances is None:
         draw_instances = jnp.zeros_like(vertex_index)
     if vertex_batch_fn is not None:
         ctx = BatchVertexCtx(vertex_index, attrs, worlds, iids, bindings,
                              draw_instances)
-        clip, vary = vertex_batch_fn(ctx)
+        out = vertex_batch_fn(ctx)
+        from .raster_common import PlanarTris
+        if isinstance(out, PlanarTris):
+            return out, None
+        clip, vary = out
         return (jnp.asarray(clip, jnp.float32),
                 jnp.asarray(vary, jnp.float32))
 

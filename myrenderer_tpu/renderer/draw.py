@@ -233,9 +233,13 @@ def _batch_vertex_products(plan, args, world):
                                  if b.use_batch_fn else None),
                 draw_instances=jnp.asarray(b.draw_instance))
 
+            tri_iid = jnp.asarray(b.iids[::3])
+            if isinstance(clip, rc.PlanarTris):
+                # planar end-to-end path: no [V,4] -> [T,3,4] relayout
+                out.append((s_i, b, clip, None, inst_vis[tri_iid]))
+                continue
             tri_clip = clip.reshape(b.tri_count, 3, 4)
             tri_vary = vary.reshape(b.tri_count, 3, vary.shape[-1])
-            tri_iid = jnp.asarray(b.iids[::3])
             out.append((s_i, b, tri_clip, tri_vary, inst_vis[tri_iid]))
     return out
 
@@ -294,15 +298,16 @@ def _raster_sub_batched(plan, tri_clip, tri_vary, valid, depth, fb,
     from jax.sharding import PartitionSpec as P
     mesh = plan.mesh
     band = plan.height // mesh.shape["rows"]
+    tcount = (tri_clip.count if isinstance(tri_clip, rc.PlanarTris)
+              else tri_clip.shape[0])
     if z_bias is None:
         # a zero bias is decision- and depth-identical to no bias
         # (z + 0*w == z; zhi == valid); keeps the shard signature static
-        z_bias = jnp.zeros(tri_clip.shape[0], jnp.float32)
+        z_bias = jnp.zeros(tcount, jnp.float32)
     if cull_codes is None:
         # static cull string: encode anyway so the shard body has one
         # signature (codes reproduce the string semantics exactly)
-        cull_mode = jnp.full(tri_clip.shape[0],
-                             rc.CULL_CODES[cull_mode], jnp.int32)
+        cull_mode = jnp.full(tcount, rc.CULL_CODES[cull_mode], jnp.int32)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -338,18 +343,26 @@ def _frame_fn(plan: _FramePlan, args):
         S = len(plan.surfaces)
         mixed_cull = len({b.pipeline.cull_mode
                           for s in plan.surfaces for b in s.batches}) > 1
-        clips, varys, valids, biases, culls = [], [], [], [], []
+        planar = any(isinstance(p[2], rc.PlanarTris) for p in products)
+        clips, valids, biases, culls = [], [], [], []
         for s_i, b, tri_clip, tri_vary, valid in products:
+            if planar and not isinstance(tri_clip, rc.PlanarTris):
+                tri_clip = rc.PlanarTris.from_interleaved(tri_clip,
+                                                          tri_vary)
+            tcount = (tri_clip.count if planar else tri_clip.shape[0])
             bias = jnp.float32(2.0 * (S - 1 - s_i))
             clips.append(tri_clip)
-            varys.append(tri_vary)
             valids.append(valid)
-            biases.append(jnp.full(tri_clip.shape[0], bias, jnp.float32))
-            culls.append(np.full(tri_clip.shape[0],
+            biases.append(jnp.full(tcount, bias, jnp.float32))
+            culls.append(np.full(tcount,
                                  rc.CULL_CODES[b.pipeline.cull_mode],
                                  np.int32))
-        tri_clip = jnp.concatenate(clips)
-        tri_vary = jnp.concatenate(varys)
+        if planar:
+            tri_clip = clips[0].concat(*clips[1:])
+            tri_vary = None
+        else:
+            tri_clip = jnp.concatenate([c for c in clips])
+            tri_vary = jnp.concatenate([p[3] for p in products])
         valid = jnp.concatenate(valids)
         z_bias = jnp.concatenate(biases)
         shared = plan.surfaces[0].batches[0].pipeline

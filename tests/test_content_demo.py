@@ -172,11 +172,19 @@ def test_terrain_batch_vertex_path_matches_vmap():
     worlds = jnp.asarray(world)[None]
     bindings = {0: jnp.asarray(uniform)[None], 1: jnp.asarray(hm)[None]}
 
+    from myrenderer_tpu.ops.raster_common import PlanarTris
+
     clip_v, vary_v = vs.run_vertex_stage(
         _make_vertex_fn(size), vidx, {}, worlds, iids, bindings)
     clip_b, vary_b = vs.run_vertex_stage(
         None, vidx, {}, worlds, iids, bindings,
         vertex_batch_fn=_make_vertex_batch_fn(size))
+    if isinstance(clip_b, PlanarTris):
+        # a planar batch fn is also a valid formulation: compare in
+        # interleaved layout
+        tri_clip, tri_vary = clip_b.interleaved()     # [T, 3, 4]
+        clip_b = np.asarray(tri_clip).reshape(V, 4)
+        vary_b = np.asarray(tri_vary).reshape(V, 4)
     np.testing.assert_allclose(np.asarray(clip_v), np.asarray(clip_b),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(vary_v), np.asarray(vary_b),

@@ -594,3 +594,47 @@ def test_texture_sampler_binding_kind(use_bilinear):
     else:
         np.testing.assert_allclose(fb[10, 10], [0.0, 0.0, 1.0, 1.0],
                                    atol=1e-5)
+
+
+def test_planar_batch_vertex_interface():
+    """A pipeline whose batch vertex fn emits a PLANAR [3, 4, T] batch
+    (raster_common.PlanarTris) renders pixel-identically to the same
+    geometry through the interleaved vmapped path — covering the planar
+    end-to-end lane through Draw/clip_near/triangle_setup/binning."""
+    from myrenderer_tpu.ops.raster_common import PlanarTris
+
+    pts = np.array([[0.1, 0.1], [0.9, 0.2], [0.2, 0.9],
+                    [0.5, 0.05], [0.95, 0.6], [0.6, 0.5]], np.float32)
+
+    def vertex_fn(ctx):
+        vi = ctx.vertex_index
+        p = jnp.asarray(pts)[vi]
+        clip = ctx.world @ jnp.array([p[0], p[1], 1.0, 1.0], jnp.float32)
+        return clip, jnp.array([0.2, 0.9, 0.4, 1.0], jnp.float32)
+
+    def vertex_batch_fn(ctx):
+        w = ctx.worlds[0]                                  # [4, 4]
+        p = jnp.asarray(pts).reshape(2, 3, 2)              # [T, 3, 2]
+        hom = jnp.stack([p[:, :, 0], p[:, :, 1],
+                         jnp.ones((2, 3)), jnp.ones((2, 3))], -1)
+        clip = jnp.einsum("ab,tkb->tka", w, hom)           # [T, 3, 4]
+        vary = jnp.broadcast_to(
+            jnp.array([0.2, 0.9, 0.4, 1.0], jnp.float32), (2, 3, 4))
+        return PlanarTris.from_interleaved(clip, vary)
+
+    def build(batch):
+        rend, window = make_renderer(64, 64, backend="pallas")
+        pipe = Pipeline.create(
+            rend, vertex_fn=vertex_fn,
+            vertex_batch_fn=vertex_batch_fn if batch else None,
+            bindings=[BindingLayout(0, BUILTIN_TRANSFORM)])
+        vb = VertexBuffer.new(rend, 0, 2)    # 2 tris, buffer-less
+        node = Instance.create_node(rend, pipeline=pipe)
+        node.get_backing().set_vertex_buffer(vb)
+        surf = Surface.create_window_scene(rend, window, node)
+        surf.set_perspective(ortho_unit())
+        return render_frame(rend, [surf], clear=(0, 0, 1, 1))
+
+    planar_fb = build(batch=True)
+    vmapped_fb = build(batch=False)
+    np.testing.assert_array_equal(planar_fb, vmapped_fb)
