@@ -73,14 +73,13 @@ class StressApp:
         self.renderer = Renderer(self.core, raster_backend=backend)
         self.renderer.adopt_window(self.window)
         # megatriangle tuning: 16-row tiles halve the kernel's per-entry
-        # pixel waste at sub-pixel triangle sizes, small chunks cut
-        # boundary-chunk waste, 6 tiles per program amortize the
-        # per-program fixed cost (kbench/demo sweeps); the demo-scale
-        # default stays 32-row tiles
+        # pixel waste at sub-pixel triangle sizes (median bbox 2.3 px^2
+        # here) and chunk 32 balances boundary waste vs per-chunk fixed
+        # cost at ~320-entry tile segments; the demo-scale default
+        # stays 32-row tiles / chunk 16
         from ..ops.raster_pallas import RasterConfig
         self.renderer.raster_cfg = RasterConfig(tile_h=16, chunk=32,
-                                                stream_window=128,
-                                                tiles_x=6)
+                                                stream_window=128)
 
         hm = default_heightmap(terrain_size)
         terrain_mod = Terrain(self.renderer)

@@ -8,8 +8,9 @@ raster/depth hardware the reference drives through ``mach.gpu``
    linear plane coefficients (edges, depth, varyings), packed
    f32[T, 32] with the triangle id as a lane.
 2. **Binning** (XLA): each triangle's pixel AABB is mapped to the tile
-   grid; (tile, triangle) incidences are sorted lexicographically
-   (two-key ``lax.sort`` — no combined-key int32 wall), which keeps
+   grid; (tile, triangle) incidences are sorted by a fused single
+   int32/uint32 key (several times faster than a variadic two-key sort,
+   which remains as the fallback for huge key spaces), which keeps
    triangles within a tile in ascending submission order, preserving
    the depth-tie semantics of the reference's 'less' test. The result
    is a *CSR* structure: per-tile (start, count) offsets into one
