@@ -84,7 +84,7 @@ class RasterConfig:
                                   # chunks cut boundary-chunk waste at
                                   # sparse tiles: demo 1080p 10.3 ms at
                                   # 64 -> 7.95 ms at 16)
-    stream_window: int = 128      # coefficient rows per DMA window
+    stream_window: int = 256      # coefficient rows per DMA window
     tiles_x: int = 1              # consecutive x-tiles per kernel
                                   # program (amortizing per-program
                                   # fixed costs measured NEUTRAL to
@@ -202,7 +202,7 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     tri_flat = jnp.broadcast_to(tri_idx[:, None], (T, K)).reshape(-1)
     tile_range = jnp.arange(NT, dtype=jnp.int32)
     key_space = (NT + 1) * (T + 1)
-    if key_space < 2**32:
+    if key_space < 2**32 and not globals().get("_FORCE_TWO_KEY_SORT"):
         # fused unique key (u32 when the i32 range is too small — e.g.
         # 16-row tiles at 4K): ONE single-operand sort, several times
         # faster than the variadic two-key sort
@@ -214,11 +214,24 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
         ends = jnp.searchsorted(
             keys, (tile_range + 1).astype(dt) * dt(T + 1)).astype(
                 jnp.int32)
-        tri_sorted = jnp.clip(keys % dt(T + 1), 0,
-                              max(T - 1, 0)).astype(jnp.int32)
+
+        def decode_ids(keys_slice):
+            # decode AFTER slicing to the stream capacity: running the
+            # %-decode on all K*T keys costs several redundant
+            # megaslices per frame
+            return jnp.clip(keys_slice % dt(T + 1), 0,
+                            max(T - 1, 0)).astype(jnp.int32)
     else:
-        tile_sorted, tri_sorted = lax.sort((tile_flat, tri_flat),
-                                           num_keys=2)
+        tile_sorted, tri_sorted2 = lax.sort((tile_flat, tri_flat),
+                                            num_keys=2)
+
+        def decode_ids(keys_slice, _ids=tri_sorted2):
+            n = keys_slice.shape[0]
+            out = _ids[:n]
+            if out.shape[0] < n:   # S rounded past K*T
+                out = jnp.pad(out, (0, n - out.shape[0]))
+            return out
+        keys = tile_sorted
         starts = jnp.searchsorted(tile_sorted, tile_range).astype(
             jnp.int32)
         ends = jnp.searchsorted(tile_sorted, tile_range + 1).astype(
@@ -258,9 +271,10 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     # gather comes back — measured 93 ms vs ~15 ms per stress frame.
     packed128 = lax.optimization_barrier(
         jnp.pad(packed, ((0, 0), (0, 128 - LANES))))
-    idx_cap = tri_sorted[:S]
-    if idx_cap.shape[0] < S:
-        idx_cap = jnp.pad(idx_cap, (0, S - idx_cap.shape[0]))
+    keys_cap = keys[:S]
+    if keys_cap.shape[0] < S:
+        keys_cap = jnp.pad(keys_cap, (0, S - keys_cap.shape[0]))
+    idx_cap = decode_ids(keys_cap)
     stream = packed128[idx_cap]                        # [S, 128]
 
     # big list: indices of 'big' triangles in submission order

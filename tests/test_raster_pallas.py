@@ -296,3 +296,35 @@ def test_exact_depth_tie_first_submitted_wins():
         "oracle: first submitted must win exact ties"
     d_p, w_p = rp.rasterize_visibility(tc, H, W, tri_clip=clip, cfg=CFG)
     np.testing.assert_array_equal(np.asarray(w_r), np.asarray(w_p))
+
+
+def test_fused_key_vs_two_key_sort_paths():
+    """The fused single-key bin sort (i32/u32) and the variadic two-key
+    fallback must produce identical CSR structures and streams — the
+    fallback only triggers at huge (tile count x triangle count) spaces
+    on real frames, so pin the equivalence explicitly at a size where
+    both paths can run."""
+    import dataclasses
+
+    H, W = 64, 256
+    n = 300
+    clip, vary = random_triangles(n, 7)
+    valid = jnp.ones(n, bool)
+    tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+
+    outs = {}
+    for force_fallback in (False, True):
+        if force_fallback:
+            # shrink the apparent key space by monkeypatching the
+            # threshold via a tiny config wrapper: easiest is to call
+            # with a huge virtual tile count — instead, recompute with
+            # the module's fallback branch by patching the constant
+            import unittest.mock as mock
+            with mock.patch.object(rp, "_FORCE_TWO_KEY_SORT", True,
+                                   create=True):
+                outs[True] = rp.bin_triangles(tc, clip, H, W, CFG)
+        else:
+            outs[False] = rp.bin_triangles(tc, clip, H, W, CFG)
+
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
