@@ -78,8 +78,7 @@ class StressApp:
         # cost at ~320-entry tile segments; the demo-scale default
         # stays 32-row tiles / chunk 16
         from ..ops.raster_pallas import RasterConfig
-        self.renderer.raster_cfg = RasterConfig(tile_h=16, chunk=32,
-                                                stream_window=128)
+        self.renderer.raster_cfg = RasterConfig(tile_h=16, chunk=32)
 
         hm = default_heightmap(terrain_size)
         terrain_mod = Terrain(self.renderer)
