@@ -137,9 +137,12 @@ def main(argv=None):
         from ..ops.raster_pallas import RasterConfig
         vals = [int(v) for v in args.raster.split(",")]
         th, tw, chunk, window = vals[:4]
+        # tiles_x defaults to the RasterConfig default (1): multi-tile
+        # programs measured neutral-to-harmful (BASELINE.md lever 2) and
+        # must be opted into explicitly via the 5th value
         raster = RasterConfig(tile_h=th, tile_w=tw, chunk=chunk,
                               stream_window=window,
-                              tiles_x=vals[4] if len(vals) > 4 else 4)
+                              tiles_x=vals[4] if len(vals) > 4 else 1)
     w, h = (int(v) for v in args.size.split("x"))
     app = DemoApp(width=w, height=h, heightmap=args.heightmap,
                   backend=args.backend, raster=raster)

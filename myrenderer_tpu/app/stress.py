@@ -67,18 +67,20 @@ def _instanced_marker_pipeline(rend, grid: int, terrain_size: int):
 class StressApp:
     def __init__(self, width: int = 3840, height: int = 2160,
                  terrain_size: int = 708, instances: int = 10000,
-                 backend: str = "auto"):
+                 backend: str = "auto", raster=None):
         self.core = Core(fixed_timestep=1.0 / 60.0)
         self.window = self.core.create_window(width, height, "stress")
         self.renderer = Renderer(self.core, raster_backend=backend)
         self.renderer.adopt_window(self.window)
-        # megatriangle tuning: 16-row tiles halve the kernel's per-entry
+        # megatriangle tuning: 8-row tiles cut the kernel's per-entry
         # pixel waste at sub-pixel triangle sizes (median bbox 2.3 px^2
-        # here) and chunk 32 balances boundary waste vs per-chunk fixed
-        # cost at ~320-entry tile segments; the demo-scale default
-        # stays 32-row tiles / chunk 16
+        # here) — split-frame binning keeps the fused u32 bin sort
+        # available at this tile height; chunk 32 balances boundary
+        # waste vs per-chunk fixed cost. The demo-scale default stays
+        # 32-row tiles / chunk 16.
         from ..ops.raster_pallas import RasterConfig
-        self.renderer.raster_cfg = RasterConfig(tile_h=16, chunk=32)
+        self.renderer.raster_cfg = raster or RasterConfig(tile_h=8,
+                                                          chunk=32)
 
         hm = default_heightmap(terrain_size)
         terrain_mod = Terrain(self.renderer)
@@ -132,12 +134,25 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--out", default=None)
     ap.add_argument("--backend", default="auto")
+    ap.add_argument("--raster", default=None,
+                    help="RasterConfig override 'th,tw,chunk,window"
+                         "[,tiles_x]' (kernel tuning sweeps)")
     args = ap.parse_args(argv)
+
+    raster = None
+    if args.raster:
+        from ..ops.raster_pallas import RasterConfig
+        vals = [int(v) for v in args.raster.split(",")]
+        th, tw, chunk, window = vals[:4]
+        raster = RasterConfig(tile_h=th, tile_w=tw, chunk=chunk,
+                              stream_window=window,
+                              tiles_x=vals[4] if len(vals) > 4 else 1)
 
     import jax
     w, h = (int(v) for v in args.size.split("x"))
     app = StressApp(width=w, height=h, terrain_size=args.terrain,
-                    instances=args.instances, backend=args.backend)
+                    instances=args.instances, backend=args.backend,
+                    raster=raster)
     print(f"triangles/frame: {app.triangles}", flush=True)
     t0 = time.perf_counter()
     app.tick()

@@ -389,15 +389,19 @@ def pack_coeffs(tc: TriCoeffs) -> jax.Array:
 FULL_LANES = 32
 
 
-def pack_coeffs_full(tc: TriCoeffs) -> jax.Array:
+def pack_coeffs_full(tc: TriCoeffs, base: int = 0) -> jax.Array:
     """f32[T, FULL_LANES]: visibility lanes + triangle id + varying
     interpolation planes, for single-pass rasterize+shade kernels.
     Varyings must be 4 channels (the FragPass color contract,
-    ``Pipeline.zig:12-32``)."""
+    ``Pipeline.zig:12-32``). ``base`` offsets the id lane — batches
+    packed separately and concatenated into one raster pass carry their
+    GLOBAL submission rank there (it is the kernel's depth-tie rank and
+    winner index; exact up to 2^24 in f32)."""
     T = tc.en_abc.shape[0]
     if tc.col_abc.shape[-1] != 4:
         raise ValueError("full pack requires exactly 4 varying channels")
-    ids = jnp.arange(T, dtype=jnp.float32)[:, None]
+    ids = (jnp.arange(T, dtype=jnp.float32)[:, None]
+           + jnp.float32(base))
     col = tc.col_abc            # [T, 3, 4]
     col_flat = jnp.concatenate([col[:, :, ch] for ch in range(4)],
                                axis=1)                  # [T, 12]

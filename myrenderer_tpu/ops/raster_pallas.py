@@ -97,6 +97,9 @@ class RasterConfig:
                                   # gathers cost ~25-45 ns/row, the
                                   # dominant frame cost at megatriangle
                                   # scale. Overflow -> adaptive bump.)
+    auto_span: bool = True        # scale the span budget with the tile
+                                  # grid (see _span_budget); False pins
+                                  # it to max_tiles_per_tri exactly
     interpret: bool = False      # Pallas interpreter (CPU testing)
 
 
@@ -105,6 +108,25 @@ DEFAULT_CONFIG = RasterConfig()
 
 def _cdiv(a: int, b: int) -> int:
     return (a + b - 1) // b
+
+
+def _span_budget(T: int, NT: int, cfg: RasterConfig) -> int:
+    """Effective span budget: bbox tiles before a triangle routes to the
+    shared big list. ``cfg.max_tiles_per_tri`` is the floor; with
+    ``auto_span`` the budget scales with the tile-grid size (sqrt of
+    tile count — pixel spans grow with the frame SIDE, not its area),
+    capped by a fixed candidate-array budget (2^23 entries) so
+    megatriangle scenes keep their K*T sort cheap, and by 64. Fixes the
+    resolution cliff where an 8K frame routed every demo triangle to the
+    shared big list and each tile scanned all of them (855 ms/frame,
+    BASELINE.md 8K smoke) — the reference rasterizes at any window size
+    (``Renderer/Surface.zig:76-94``)."""
+    K = cfg.max_tiles_per_tri
+    if not cfg.auto_span:
+        return K
+    k_res = int(K * max(1.0, (NT / 512.0) ** 0.5) + 0.999)
+    k_budget = (1 << 23) // max(T, 1)
+    return max(K, min(k_res, max(K, k_budget), 64))
 
 
 def _big_geometry(cfg: RasterConfig) -> tuple[int, int]:
@@ -119,6 +141,29 @@ def _big_geometry(cfg: RasterConfig) -> tuple[int, int]:
 # binning (XLA): CSR offsets + pre-gathered row stream
 # ---------------------------------------------------------------------------
 
+def viewport_bbox(tri_clip, width: int, vp_height: int):
+    """Per-triangle pixel-space bounding box — (min_u, max_u, min_v,
+    max_v) as four flat f32[T] vectors in FULL-viewport coordinates
+    (unfloored/unclipped; band offsets apply inside binning). This is
+    the ONLY thing binning needs from clip positions, so the frame
+    program computes it per batch and concatenates four flat vectors
+    instead of [T, 3, 4] interleaved corner arrays (whose concats
+    lower to lane-hostile relayout copies — BASELINE.md round-3
+    lever 4)."""
+    if isinstance(tri_clip, rc.PlanarTris):
+        c = tri_clip.clip
+        w = jnp.maximum(c[:, 3, :], rc.W_EPS)            # [3, T]
+        u = (0.5 * c[:, 0, :] / w + 0.5) * width
+        v = (0.5 - 0.5 * c[:, 1, :] / w) * vp_height
+        ax = 0
+    else:
+        w = jnp.maximum(tri_clip[..., 3], rc.W_EPS)      # [T, 3]
+        u = (0.5 * tri_clip[..., 0] / w + 0.5) * width
+        v = (0.5 - 0.5 * tri_clip[..., 1] / w) * vp_height
+        ax = 1
+    return (u.min(ax), u.max(ax), v.min(ax), v.max(ax))
+
+
 def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
                   width: int, cfg: RasterConfig, y0=0,
                   vp_height: int | None = None):
@@ -128,14 +173,16 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     big_rows f32[1, B, LANES], big_count i32[1], big_touch i32[NT],
     overflow bool[2] = (stream capacity, big list)). S =
     ``stream_factor * big_scale * T`` rounded up to whole
-    ``stream_window`` rows (capped at the K*T worst case): every
-    triangle-tile incidence with span <= K gets a stream row (its packed
-    coefficient record, gathered here so the kernel streams
-    contiguously). Live incidences sort ahead of the dead slack, so the
-    gather — the dominant megatriangle cost at ~25-45 ns/row — touches
-    only S rows; more live incidences than S raises the stream overflow
-    flag (the overflowing frame clamps tail tiles' counts; Draw bumps
-    capacity and re-renders).
+    ``stream_window`` rows (capped at the K*T worst case), split evenly
+    across the row groups (split-frame binning — see the fast-path
+    comment below): every triangle-tile incidence with span <= K gets a
+    stream row (its packed coefficient record, gathered here so the
+    kernel streams contiguously). Live incidences sort ahead of the
+    dead slack, so the gather — the dominant megatriangle cost at
+    ~25-45 ns/row — touches only S rows; a group with more live
+    incidences than its capacity raises the stream overflow flag (the
+    overflowing frame clamps tail tiles' counts; Draw bumps capacity
+    and re-renders).
 
     ``y0``/``vp_height`` support band rendering (the multi-chip row
     shards): the viewport transform always uses the FULL frame height
@@ -144,33 +191,34 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     Triangles outside the band clamp to border tiles and are rejected
     by the kernel's (global-coordinate) coverage test."""
     vp_height = height if vp_height is None else vp_height
+    return bin_packed(rc.pack_coeffs_full(tc), tc.valid,
+                      viewport_bbox(tri_clip, width, vp_height),
+                      height, width, cfg, y0=y0, vp_height=vp_height)
+
+
+def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
+               width: int, cfg: RasterConfig, y0=0,
+               vp_height: int | None = None):
+    """:func:`bin_triangles` on pre-packed inputs: ``packed``
+    f32[T, FULL_LANES] coefficient records (``rc.pack_coeffs_full``,
+    id lane already base-offset for concatenated multi-batch frames),
+    ``valid`` bool[T] post-setup validity, ``bbox`` the
+    :func:`viewport_bbox` tuple. This is the frame program's entry: the
+    per-batch setup/pack stage concatenates flat vectors and [T, 32]
+    row blocks only, never interleaved corner arrays."""
+    vp_height = height if vp_height is None else vp_height
     y0 = jnp.asarray(y0, jnp.float32)
     nty = _cdiv(height, cfg.tile_h)
     ntx = _cdiv(width, cfg.tile_w)
     NT = nty * ntx
-    K = cfg.max_tiles_per_tri
     B, _chunk = _big_geometry(cfg)
     W = cfg.stream_window
+    T = valid.shape[0]
 
-    if isinstance(tri_clip, rc.PlanarTris):
-        # planar fast path: [3, T] per-corner channels, min over corners
-        T = tri_clip.count
-        c = tri_clip.clip
-        w = jnp.maximum(c[:, 3, :], rc.W_EPS)            # [3, T]
-        u = (0.5 * c[:, 0, :] / w + 0.5) * width
-        v = (0.5 - 0.5 * c[:, 1, :] / w) * vp_height
-        corner_axis = 0
-    else:
-        T = tri_clip.shape[0]
-        w = jnp.maximum(tri_clip[..., 3], rc.W_EPS)
-        u = (0.5 * tri_clip[..., 0] / w + 0.5) * width   # [T, 3] pixel x
-        v = (0.5 - 0.5 * tri_clip[..., 1] / w) * vp_height
-        corner_axis = 1
-
-    minx = jnp.clip(jnp.floor(u.min(corner_axis)), 0, width - 1)
-    maxx = jnp.clip(jnp.ceil(u.max(corner_axis)), 0, width - 1)
-    miny = jnp.clip(jnp.floor(v.min(corner_axis)) - y0, 0, height - 1)
-    maxy = jnp.clip(jnp.ceil(v.max(corner_axis)) - y0, 0, height - 1)
+    minx = jnp.clip(jnp.floor(bbox[0]), 0, width - 1)
+    maxx = jnp.clip(jnp.ceil(bbox[1]), 0, width - 1)
+    miny = jnp.clip(jnp.floor(bbox[2]) - y0, 0, height - 1)
+    maxy = jnp.clip(jnp.ceil(bbox[3]) - y0, 0, height - 1)
 
     tx0 = (minx / cfg.tile_w).astype(jnp.int32)
     tx1 = (maxx / cfg.tile_w).astype(jnp.int32)
@@ -180,8 +228,9 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     sy = ty1 - ty0 + 1
     span = sx * sy                                     # [T]
 
-    small = tc.valid & (span <= K)
-    big = tc.valid & (span > K)
+    K = _span_budget(T, NT, cfg)
+    small = valid & (span <= K)
+    big = valid & (span > K)
 
     # K candidate tiles per triangle, row-major over its bbox tile rect
     e = jnp.arange(K, dtype=jnp.int32)                 # [K]
@@ -193,75 +242,43 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
 
     # sort incidences by (tile, tri): per-tile contiguity, ascending
     # submission order within a tile; dead incidences (tile == NT) sort
-    # to the tail past every real tile's segment. Fast path: one fused
-    # unique int32 key (measured several x faster than a variadic
-    # two-key sort); fall back to the two-key lexicographic sort only
-    # when the fused key space would overflow int32 (no hard wall).
+    # to the tail past every real tile's segment.
+    #
+    # Fast path: one fused unique 32-bit key per ROW GROUP. The frame's
+    # tile rows are split into F contiguous groups, each with its own
+    # key space, stream segment and SINGLE-OPERAND sort (measured
+    # several x faster per element than a variadic two-key sort) — so
+    # 8-row tiles fit u32 keys even at 4K with a megatriangle batch
+    # (split-frame binning, BASELINE.md round-3 lever 1). Contiguous
+    # row-ranges keep global tile order == concatenation of group
+    # orders, so the kernel's CSR contract is untouched. The variadic
+    # two-key sort remains the fallback for key spaces beyond F=8
+    # groups (no hard wall).
     tri_idx = jnp.arange(T, dtype=jnp.int32)
     tile_flat = tile.reshape(-1)
     tri_flat = jnp.broadcast_to(tri_idx[:, None], (T, K)).reshape(-1)
     tile_range = jnp.arange(NT, dtype=jnp.int32)
-    key_space = (NT + 1) * (T + 1)
-    if key_space < 2**32 and not globals().get("_FORCE_TWO_KEY_SORT"):
-        # fused unique key (u32 when the i32 range is too small — e.g.
-        # 16-row tiles at 4K): ONE single-operand sort, several times
-        # faster than the variadic two-key sort
-        dt = jnp.int32 if key_space < 2**31 else jnp.uint32
-        keys = jnp.sort(tile_flat.astype(dt) * dt(T + 1)
-                        + tri_flat.astype(dt), stable=False)
-        starts = jnp.searchsorted(
-            keys, tile_range.astype(dt) * dt(T + 1)).astype(jnp.int32)
-        ends = jnp.searchsorted(
-            keys, (tile_range + 1).astype(dt) * dt(T + 1)).astype(
-                jnp.int32)
 
-        def decode_ids(keys_slice):
-            # decode AFTER slicing to the stream capacity: running the
-            # %-decode on all K*T keys costs several redundant
-            # megaslices per frame
-            return jnp.clip(keys_slice % dt(T + 1), 0,
-                            max(T - 1, 0)).astype(jnp.int32)
-    else:
-        tile_sorted, tri_sorted2 = lax.sort((tile_flat, tri_flat),
-                                            num_keys=2)
-
-        def decode_ids(keys_slice, _ids=tri_sorted2):
-            n = keys_slice.shape[0]
-            out = _ids[:n]
-            if out.shape[0] < n:   # S rounded past K*T
-                out = jnp.pad(out, (0, n - out.shape[0]))
-            return out
-        keys = tile_sorted
-        starts = jnp.searchsorted(tile_sorted, tile_range).astype(
-            jnp.int32)
-        ends = jnp.searchsorted(tile_sorted, tile_range + 1).astype(
-            jnp.int32)
-
-    # Stream capacity: dead incidence slots (tile == NT) sort to the
-    # tail past every live entry, so only the first S rows need
-    # gathering — and XLA row gathers (~25-45 ns/row, layout-independent)
-    # are the single most expensive op at megatriangle scale, so the
-    # capacity is a REAL capacity (factor * T, adaptively scaled), not
-    # the K*T worst case. On overflow the tail tiles' counts clamp (one
-    # frame drops those triangles, like big-list overflow) and the flag
-    # triggers Draw's bump + re-render.
+    # Stream capacity: dead incidence slots sort to the tail past every
+    # live entry, so only the first S rows of each group need gathering
+    # — and XLA row gathers (~25-45 ns/row, layout-independent) are the
+    # single most expensive op at megatriangle scale, so the capacity is
+    # a REAL capacity (factor * T, adaptively scaled), not the K*T worst
+    # case. On overflow the tail tiles' counts clamp (one frame drops
+    # those triangles, like big-list overflow) and the flag triggers
+    # Draw's bump + re-render.
     # floor of 128k entries: below that the gather is sub-ms anyway and
     # small scenes (whose triangles are large relative to the tile grid,
     # spans 3-8) must not need adaptive bumps just to fit the stream
-    S = min(max(_cdiv(int(T * cfg.stream_factor * cfg.big_scale), W),
-                _cdiv(min(K * T, 2**17), W), 1),
-            _cdiv(K * T, W)) * W
-    live_total = ends[NT - 1] if NT > 0 else jnp.int32(0)
-    overflow_stream = live_total > S
-    ends = jnp.minimum(ends, S)
-    starts = jnp.minimum(starts, S)
-    counts = ends - starts                             # [NT]
+    S_total = min(max(_cdiv(int(T * cfg.stream_factor * cfg.big_scale),
+                            W),
+                      _cdiv(min(K * T, 2**17), W), 1),
+                  _cdiv(K * T, W)) * W
 
     # pre-gather the stream: coefficient rows in bin order, in whole DMA
     # windows, one entry per 128-lane stream row (Mosaic requires manual
     # HBM DMA slices to be 128-lane aligned, so a [S, 32] stream could
     # not be windowed anyway).
-    packed = rc.pack_coeffs_full(tc)                   # [T, 32]
     # pad records to full 128-lane rows BEFORE the gather: XLA row
     # gathers from a [T, 128] table run ~5x faster per row than from
     # [T, 32] (narrow rows hit a slow sublane path). 4x the bytes, but
@@ -271,11 +288,79 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     # gather comes back — measured 93 ms vs ~15 ms per stress frame.
     packed128 = lax.optimization_barrier(
         jnp.pad(packed, ((0, 0), (0, 128 - LANES))))
-    keys_cap = keys[:S]
-    if keys_cap.shape[0] < S:
-        keys_cap = jnp.pad(keys_cap, (0, S - keys_cap.shape[0]))
-    idx_cap = decode_ids(keys_cap)
-    stream = packed128[idx_cap]                        # [S, 128]
+
+    def group_space(rows: int) -> int:
+        return (rows * ntx + 1) * (T + 1)
+
+    F = 1
+    while F < min(nty, 8) and group_space(_cdiv(nty, F)) >= 2**32:
+        F += 1
+    # test hook: pin the group count so small scenes exercise the
+    # multi-group path (real frames only split at huge NT x T)
+    F = min(globals().get("_FORCE_ROW_GROUPS") or F, nty)
+    rpg = _cdiv(nty, F)                 # tile rows per group
+
+    if group_space(rpg) < 2**32 and \
+            not globals().get("_FORCE_TWO_KEY_SORT"):
+        # u32 keys when the i32 range is too small (16-row tiles at 4K)
+        dt = jnp.int32 if group_space(rpg) < 2**31 else jnp.uint32
+        Sg = _cdiv(_cdiv(S_total, F), W) * W     # capacity per group
+        starts_l, counts_l, streams, live_l = [], [], [], []
+        for g in range(F):
+            base = g * rpg * ntx
+            ntg = min(rpg, nty - g * rpg) * ntx
+            if ntg <= 0:     # ceil split: only trailing groups can be
+                break        # empty; they own no tiles and no stream
+            in_g = (tile_flat >= base) & (tile_flat < base + ntg)
+            # dead entries (other groups / unbinned) take the virtual
+            # tile ntg, keeping the tri id in the low bits: they sort
+            # past every live segment in ascending tri order, so the
+            # stream's dead slack is deterministic (and identical to
+            # the two-key fallback's)
+            ltile = jnp.where(in_g, tile_flat - base, ntg)
+            keys = jnp.sort(ltile.astype(dt) * dt(T + 1)
+                            + tri_flat.astype(dt), stable=False)
+            lrange = jnp.arange(ntg, dtype=jnp.int32)
+            lstarts = jnp.searchsorted(
+                keys, lrange.astype(dt) * dt(T + 1)).astype(jnp.int32)
+            lends = jnp.searchsorted(
+                keys, (lrange + 1).astype(dt) * dt(T + 1)).astype(
+                    jnp.int32)
+            live_l.append(lends[-1] if ntg > 0 else jnp.int32(0))
+            lends = jnp.minimum(lends, Sg)
+            lstarts = jnp.minimum(lstarts, Sg)
+            keys_cap = keys[:Sg]
+            if keys_cap.shape[0] < Sg:
+                keys_cap = jnp.pad(keys_cap,
+                                   (0, Sg - keys_cap.shape[0]))
+            # decode AFTER slicing to the capacity: %-decoding all K*T
+            # keys costs several redundant megaslices per frame
+            ids = jnp.clip((keys_cap % dt(T + 1)).astype(jnp.int32),
+                           0, max(T - 1, 0))
+            streams.append(packed128[ids])
+            starts_l.append(lstarts + g * Sg)
+            counts_l.append(lends - lstarts)
+        starts = jnp.concatenate(starts_l) if F > 1 else starts_l[0]
+        counts = jnp.concatenate(counts_l) if F > 1 else counts_l[0]
+        stream = jnp.concatenate(streams) if F > 1 else streams[0]
+        overflow_stream = jnp.stack(live_l).max() > Sg
+    else:
+        tile_sorted, tri_sorted2 = lax.sort((tile_flat, tri_flat),
+                                            num_keys=2)
+        starts = jnp.searchsorted(tile_sorted, tile_range).astype(
+            jnp.int32)
+        ends = jnp.searchsorted(tile_sorted, tile_range + 1).astype(
+            jnp.int32)
+        S = S_total
+        live_total = ends[NT - 1] if NT > 0 else jnp.int32(0)
+        overflow_stream = live_total > S
+        ends = jnp.minimum(ends, S)
+        starts = jnp.minimum(starts, S)
+        counts = ends - starts                         # [NT]
+        idx_cap = tri_sorted2[:S]
+        if idx_cap.shape[0] < S:   # S rounded past K*T
+            idx_cap = jnp.pad(idx_cap, (0, S - idx_cap.shape[0]))
+        stream = packed128[idx_cap]                    # [S, 128]
 
     # big list: indices of 'big' triangles in submission order
     big_order = jnp.where(big, tri_idx, T)
@@ -314,7 +399,7 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                    big_touch_ref, stream_hbm, big_ref,
                    depth_in_ref, fused_ref, winner_ref,
                    stream_scratch, dma_sems,
-                   *, tile_h: int, tile_w: int, base_index: int,
+                   *, tile_h: int, tile_w: int,
                    chunk: int, window: int, tiles_x: int, ntx: int):
     """One program = ``tiles_x`` consecutive (tile_h, tile_w)
     framebuffer tiles along x (multi-tile programs amortize the ~5 us
@@ -385,7 +470,15 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             idmin = jnp.min(jnp.where(zm == zmin, ids,
                                       jnp.float32(3e38)),
                             axis=0, keepdims=True)
-            win = zmin < depth
+            idw = idmin.astype(jnp.int32)
+            # 'less' depth test with lowest-id tie-break ACROSS chunks:
+            # equal-depth pixels keep the lowest triangle id, i.e.
+            # submission order — exactly the sequential oracle's
+            # semantics — regardless of the order entries reach this
+            # tile (binned vs big list vs clipped appendees). Uncovered
+            # pixels hold winner -1, so a tie against the clear depth
+            # never wins (idw >= 0 > -1 is the wrong side of <).
+            win = (zmin < depth) | ((zmin == depth) & (idw < winner))
 
             # varying planes of the winning row (exactly one matches)
             is_win_row = cov & (zm == zmin) & (ids == idmin)
@@ -399,7 +492,6 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             nums_c = tuple(plane(20 + 3 * ch, 21 + 3 * ch, 22 + 3 * ch)
                            for ch in range(4))
 
-            idw = idmin.astype(jnp.int32) + jnp.int32(base_index)
             return (jnp.where(win, zmin, depth),
                     jnp.where(win, idw, winner),
                     tuple(jnp.where(win, nc, old)
@@ -520,6 +612,23 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
     cfg = cfg or DEFAULT_CONFIG
     if tri_clip is None:
         raise ValueError("pallas backend needs tri_clip for binning")
+    vp_height = height if vp_height is None else vp_height
+    return rasterize_packed(
+        rc.pack_coeffs_full(tc, base=base_index), tc.valid,
+        viewport_bbox(tri_clip, width, vp_height), height, width,
+        depth=depth, cfg=cfg, y0=y0, vp_height=vp_height)
+
+
+def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
+                     height: int, width: int,
+                     depth: jax.Array | None = None,
+                     cfg: RasterConfig | None = None,
+                     y0=0, vp_height: int | None = None):
+    """:func:`rasterize` on pre-packed inputs (see :func:`bin_packed`).
+    Triangle ids (winner indices, depth-tie ranks) come from the packed
+    id lane, so concatenated multi-batch frames pack each batch with its
+    global base offset (``rc.pack_coeffs_full(tc, base=...)``)."""
+    cfg = cfg or DEFAULT_CONFIG
     if depth is None:
         depth = jnp.full((height, width), 1.0, jnp.float32)
 
@@ -537,8 +646,8 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
                          "alignment of the stream)")
 
     (stream, starts, counts, big_rows, big_count, big_touch,
-     ovf) = bin_triangles(tc, tri_clip, height, width, cfg, y0=y0,
-                          vp_height=vp_height)
+     ovf) = bin_packed(packed, valid, bbox, height, width, cfg, y0=y0,
+                       vp_height=vp_height)
 
     y0_arr = jnp.asarray(y0, jnp.int32).reshape(1)
     depth_p = jnp.pad(depth, ((0, ph - height), (0, pw - width)),
@@ -549,7 +658,7 @@ def rasterize(tc: rc.TriCoeffs, height: int, width: int,
     R = max(r for r in range(1, max(cfg.tiles_x, 1) + 1) if ntx % r == 0)
 
     kernel = functools.partial(_raster_kernel, tile_h=cfg.tile_h,
-                               tile_w=cfg.tile_w, base_index=base_index,
+                               tile_w=cfg.tile_w,
                                chunk=chunk, window=W, tiles_x=R, ntx=ntx)
     tile_spec = pl.BlockSpec((cfg.tile_h, R * cfg.tile_w),
                              lambda ty, tx: (ty, tx),

@@ -129,6 +129,21 @@ class Renderer:
         self.collect_stats = False
         self.frame_stats: dict = {}
 
+        # When True, the frame program also returns each raster pass's
+        # per-pixel winning-triangle buffer (Draw.last_winners) — the
+        # exact decision surface for parity tests (winner indices are
+        # deterministic where shaded RGBA can flip by 1 ulp on edges).
+        self.debug_winner = False
+
+        # When True, Draw.end checks every frame's capacity-overflow
+        # flag synchronously before publishing and re-renders flagged
+        # frames with bumped capacity: NO published frame ever drops
+        # triangles, at the cost of one device->host sync per frame
+        # (microseconds on local hardware). Default False: the flag is
+        # polled asynchronously and a steady-state overflow can drop
+        # triangles in up to ~4 published frames before the bump lands.
+        self.strict_overflow = False
+
     # -- lifecycle (Renderer.zig:36-56) ------------------------------------
 
     def adopt_window(self, window: Window) -> None:

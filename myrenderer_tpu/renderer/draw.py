@@ -77,6 +77,7 @@ class _FramePlan:
     raster_cfg: object = None
     merged: bool = False
     mesh: object = None      # jax.sharding.Mesh with a 'rows' axis
+    debug_winner: bool = False   # frame fn also returns winner buffers
     fn: object = None
 
 
@@ -257,71 +258,71 @@ def _clip_near(plan, tri_clip, tri_vary, valid, overflow, z_bias=None,
     return tri_clip, tri_vary, valid, z_bias, cull_codes, overflow
 
 
-def _raster_band_core(plan, tri_clip, tri_vary, valid, z_bias,
-                      depth, fb, cull_mode, fragment_fn, y0):
-    """Pallas raster + shade of one horizontal band starting at global
-    row ``y0`` (traced; 0 and band = full frame on a single device).
-    ONE pass regardless of triangle count: the kernel streams the
-    coefficient rows from HBM (raster_pallas module docstring)."""
+def _setup_batch(plan, tri_clip, tri_vary, valid, cull_mode, overflow,
+                 z_bias=None, base_index=0):
+    """Per-batch eye-plane clip + triangle setup + coefficient pack +
+    viewport bbox (pallas backend). Static per-batch raster state — the
+    cull mode string and the merged pass's layer bias — folds into
+    setup HERE, so multi-batch frames carry no per-triangle state
+    arrays at all, and the only things concatenated across batches are
+    the packed f32[T, 32] row blocks and flat [T] vectors (interleaved
+    [T, 3, 4] concats lowered to lane-hostile relayout copies,
+    ~1.2 ms each at the 4K/1M stretch — BASELINE.md round-3 lever 4).
+    Returns (packed, valid, bbox, overflow); ``base_index`` offsets the
+    packed id lane to the batch's global submission rank."""
     from ..ops import raster_pallas
-    band_h = depth.shape[0]
+    tri_clip, tri_vary, valid, _zb, _cc, overflow = _clip_near(
+        plan, tri_clip, tri_vary, valid, overflow)
+    bias = None if z_bias is None else jnp.float32(z_bias)
     tc = rc.triangle_setup(tri_clip, tri_vary, valid, plan.width,
-                           plan.height, cull_mode, z_bias=z_bias)
-    depth, winner, num, den, ovf = raster_pallas.rasterize(
-        tc, band_h, plan.width, depth=depth, tri_clip=tri_clip,
-        cfg=plan.raster_cfg, y0=y0, vp_height=plan.height)
-    fb = raster_pallas.shade_from_planes(winner, num, den, fb,
-                                         fragment_fn)
-    return depth, fb, ovf
+                           plan.height, cull_mode, z_bias=bias)
+    packed = rc.pack_coeffs_full(tc, base=base_index)
+    bbox = raster_pallas.viewport_bbox(tri_clip, plan.width,
+                                       plan.height)
+    return packed, tc.valid, bbox, overflow
 
 
-def _raster_sub_batched(plan, tri_clip, tri_vary, valid, depth, fb,
-                        cull_mode, fragment_fn, overflow, z_bias=None):
-    """Eye-plane clip + Pallas raster + shade. ``cull_mode`` is a static
-    string or a per-triangle i32 code array (merged passes mixing raster
-    states). With ``plan.mesh`` set, the framebuffer/depth are sharded
-    by pixel rows over the mesh's 'rows' axis and each device rasterizes
-    its own band (bit-identical to the same rows of a single-device
-    render; triangles are replicated — rasterization needs no cross-band
-    reduction, so the only collective is the output staying sharded)."""
-    cull_codes = None if isinstance(cull_mode, str) else cull_mode
-    tri_clip, tri_vary, valid, z_bias, cull_codes, overflow = _clip_near(
-        plan, tri_clip, tri_vary, valid, overflow, z_bias, cull_codes)
-    if cull_codes is not None:
-        cull_mode = cull_codes
+def _raster_packed(plan, packed, valid, bbox, depth, fb, fragment_fn,
+                   overflow):
+    """Pallas raster + shade of packed batches. ONE pass regardless of
+    triangle count: the kernel streams coefficient rows from HBM
+    (raster_pallas module docstring). With ``plan.mesh`` set, the
+    framebuffer/depth are sharded by pixel rows over the mesh's 'rows'
+    axis and each device rasterizes its own band (bit-identical to the
+    same rows of a single-device render; rasterization needs no
+    cross-band reduction, so the only collective is the output staying
+    sharded). Returns (depth, fb, winner, overflow)."""
+    from ..ops import raster_pallas
     if plan.mesh is None:
-        depth, fb, ovf2 = _raster_band_core(
-            plan, tri_clip, tri_vary, valid, z_bias, depth, fb,
-            cull_mode, fragment_fn, y0=0)
-        return depth, fb, overflow.at[:2].set(overflow[:2] | ovf2)
+        depth, winner, num, den, ovf = raster_pallas.rasterize_packed(
+            packed, valid, bbox, plan.height, plan.width, depth=depth,
+            cfg=plan.raster_cfg, y0=0, vp_height=plan.height)
+        fb = raster_pallas.shade_from_planes(winner, num, den, fb,
+                                             fragment_fn)
+        return depth, fb, winner, overflow.at[:2].set(
+            overflow[:2] | ovf)
 
     from jax.sharding import PartitionSpec as P
     mesh = plan.mesh
     band = plan.height // mesh.shape["rows"]
-    tcount = (tri_clip.count if isinstance(tri_clip, rc.PlanarTris)
-              else tri_clip.shape[0])
-    if z_bias is None:
-        # a zero bias is decision- and depth-identical to no bias
-        # (z + 0*w == z; zhi == valid); keeps the shard signature static
-        z_bias = jnp.zeros(tcount, jnp.float32)
-    if cull_codes is None:
-        # static cull string: encode anyway so the shard body has one
-        # signature (codes reproduce the string semantics exactly)
-        cull_mode = jnp.full(tcount, rc.CULL_CODES[cull_mode], jnp.int32)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P("rows"), P("rows")),
-        out_specs=(P("rows"), P("rows"), P("rows")), check_vma=False)
-    def body(tcl, tvr, vld, zb, cc, depth_band, fb_band):
+        in_specs=(P(), P(), P(), P("rows"), P("rows")),
+        out_specs=(P("rows"), P("rows"), P("rows"), P("rows")),
+        check_vma=False)
+    def body(pk, vl, bx, depth_band, fb_band):
         y0 = jax.lax.axis_index("rows") * band
-        d, f, o = _raster_band_core(plan, tcl, tvr, vld, zb, depth_band,
-                                    fb_band, cc, fragment_fn, y0)
-        return d, f, o[None]          # [1, 2] -> [n_rows, 2] gathered
+        d, w, num, den, o = raster_pallas.rasterize_packed(
+            pk, vl, bx, band, plan.width, depth=depth_band,
+            cfg=plan.raster_cfg, y0=y0, vp_height=plan.height)
+        f = raster_pallas.shade_from_planes(w, num, den, fb_band,
+                                            fragment_fn)
+        return d, f, w, o[None]       # [1, 2] -> [n_rows, 2] gathered
 
-    depth, fb, ovf_rows = body(tri_clip, tri_vary, valid, z_bias,
-                               cull_mode, depth, fb)
-    return depth, fb, overflow.at[:2].set(overflow[:2] | ovf_rows.any(0))
+    depth, fb, winner, ovf_rows = body(packed, valid, bbox, depth, fb)
+    return depth, fb, winner, overflow.at[:2].set(
+        overflow[:2] | ovf_rows.any(0))
 
 
 def _frame_fn(plan: _FramePlan, args):
@@ -331,6 +332,7 @@ def _frame_fn(plan: _FramePlan, args):
     H, W = plan.height, plan.width
     overflow = jnp.zeros((3,), bool)   # (stream cap, big list, clip list)
 
+    winners = []
     if plan.merged:
         # ONE raster pass for all surfaces: surface s gets depth bias
         # 2*(S-1-s), so any covered later surface beats all earlier ones
@@ -341,41 +343,36 @@ def _frame_fn(plan: _FramePlan, args):
                                   (H, W, 4)).astype(jnp.float32)
         products = _batch_vertex_products(plan, args, world)
         S = len(plan.surfaces)
-        mixed_cull = len({b.pipeline.cull_mode
-                          for s in plan.surfaces for b in s.batches}) > 1
-        planar = any(isinstance(p[2], rc.PlanarTris) for p in products)
-        clips, valids, biases, culls = [], [], [], []
+        # per-batch clip + setup + pack (static bias/cull fold in
+        # there); across batches only [T, 32] row blocks and flat
+        # vectors concatenate. Ids are global submission ranks.
+        packs, valids, bboxes = [], [], []
+        base = 0
         for s_i, b, tri_clip, tri_vary, valid in products:
-            if planar and not isinstance(tri_clip, rc.PlanarTris):
-                tri_clip = rc.PlanarTris.from_interleaved(tri_clip,
-                                                          tri_vary)
-            tcount = (tri_clip.count if planar else tri_clip.shape[0])
-            bias = jnp.float32(2.0 * (S - 1 - s_i))
-            clips.append(tri_clip)
-            valids.append(valid)
-            biases.append(jnp.full(tcount, bias, jnp.float32))
-            culls.append(np.full(tcount,
-                                 rc.CULL_CODES[b.pipeline.cull_mode],
-                                 np.int32))
-        if planar:
-            tri_clip = clips[0].concat(*clips[1:])
-            tri_vary = None
-        else:
-            tri_clip = jnp.concatenate([c for c in clips])
-            tri_vary = jnp.concatenate([p[3] for p in products])
-        valid = jnp.concatenate(valids)
-        z_bias = jnp.concatenate(biases)
+            bias = 2.0 * (S - 1 - s_i) if S > 1 else None
+            packed, v, bbox, overflow = _setup_batch(
+                plan, tri_clip, tri_vary, valid, b.pipeline.cull_mode,
+                overflow, z_bias=bias, base_index=base)
+            packs.append(packed)
+            valids.append(v)
+            bboxes.append(bbox)
+            base += packed.shape[0]
+        one = len(packs) == 1
+        packed = packs[0] if one else jnp.concatenate(packs)
+        valid = valids[0] if one else jnp.concatenate(valids)
+        bbox = tuple(cs[0] if one else jnp.concatenate(cs)
+                     for cs in zip(*bboxes))
         shared = plan.surfaces[0].batches[0].pipeline
-        cull = (jnp.asarray(np.concatenate(culls)) if mixed_cull
-                else shared.cull_mode)
         depth = jnp.full((H, W), 2.0 * (S - 1) + 1.0, jnp.float32)
-        _depth, fb, overflow = _raster_sub_batched(
-            plan, tri_clip, tri_vary, valid, depth, fb,
-            cull, shared.fragment_fn, overflow, z_bias=z_bias)
-        return fb, overflow
+        _depth, fb, winner, overflow = _raster_packed(
+            plan, packed, valid, bbox, depth, fb, shared.fragment_fn,
+            overflow)
+        if plan.debug_winner:
+            winners.append(winner)
+        return fb, overflow, tuple(winners)
 
     # sequential per-surface / per-batch path (oracle backend, mixed
-    # raster states, clears after the first surface, ...)
+    # fragment programs, clears after the first surface, ...)
     products = _batch_vertex_products(plan, args, world)
     prod_i = 0
     for s_i, splan in enumerate(plan.surfaces):
@@ -388,16 +385,16 @@ def _frame_fn(plan: _FramePlan, args):
             _s, _b, tri_clip, tri_vary, valid = products[prod_i]
             prod_i += 1
             if plan.backend == "pallas":
+                packed, v, bbox, overflow = _setup_batch(
+                    plan, tri_clip, tri_vary, valid,
+                    b.pipeline.cull_mode, overflow)
+                depth2, fb, winner, overflow = _raster_packed(
+                    plan, packed, v, bbox, depth, fb,
+                    b.pipeline.fragment_fn, overflow)
+                if plan.debug_winner:
+                    winners.append(winner)
                 if b.pipeline.depth_write:
-                    depth, fb, overflow = _raster_sub_batched(
-                        plan, tri_clip, tri_vary, valid, depth, fb,
-                        b.pipeline.cull_mode, b.pipeline.fragment_fn,
-                        overflow)
-                else:
-                    _d, fb, overflow = _raster_sub_batched(
-                        plan, tri_clip, tri_vary, valid, depth, fb,
-                        b.pipeline.cull_mode, b.pipeline.fragment_fn,
-                        overflow)
+                    depth = depth2
             else:
                 tri_clip, tri_vary, valid, _zb, _cc, overflow = \
                     _clip_near(plan, tri_clip, tri_vary, valid, overflow)
@@ -407,9 +404,11 @@ def _frame_fn(plan: _FramePlan, args):
                     tc, H, W, depth=depth)
                 fb = raster_ref.shade(tc, winner, fb,
                                       b.pipeline.fragment_fn)
+                if plan.debug_winner:
+                    winners.append(winner)
                 if b.pipeline.depth_write:
                     depth = depth2
-    return fb, overflow
+    return fb, overflow, tuple(winners)
 
 
 # --------------------------------------------------------------------------
@@ -430,6 +429,7 @@ class Draw:
         self._bounds_cache_key = None
         self._last_end_time = None
         self.last_overflow = None
+        self.last_winners = ()
         self.id = renderer._register(renderer.draws, self)
 
     @staticmethod
@@ -470,7 +470,7 @@ class Draw:
 
         plan = self._get_plan(window)
         args = self._gather_args(plan, window)
-        fb, overflow = plan.fn(args)
+        fb, overflow, winners = plan.fn(args)
         # Adaptive capacity: if a batch overflowed its big-triangle or
         # clip list, rebuild with scaled capacity and re-render. Right
         # after a (re)build the flag is checked synchronously (host
@@ -479,12 +479,18 @@ class Draw:
         # blocking: flags queue with an async device->host copy and are
         # consumed as they become ready (is_ready poll — a blocking read
         # per frame would serialize host and device). A flag is acted on
-        # a few frames after its overflow (those frames drop triangles,
-        # then the rebuild re-renders) — overflow is never silent: the
-        # queue is force-drained beyond 8 outstanding flags.
+        # a few frames after its overflow — overflow is never silent:
+        # the queue is force-drained beyond 3 outstanding flags (the
+        # ~30 ms relay readback amortizes at these frame times), and the
+        # flagged frame is re-rendered with the bumped plan before
+        # publishing, so no published frame ever drops triangles.
         if plan.raster_cfg is not None and self._big_scale < 256:
-            if self._frames_since_rebuild < 3:
-                self._frames_since_rebuild += 1
+            if self._frames_since_rebuild < 3 or rend.strict_overflow:
+                # synchronous check: right after a (re)build, and every
+                # frame under Renderer.strict_overflow (the no-dropped-
+                # frames guarantee)
+                self._frames_since_rebuild = min(
+                    self._frames_since_rebuild + 1, 3)
                 need_rebuild = np.asarray(overflow).any()
             else:
                 need_rebuild = self._poll_overflow_queue()
@@ -494,15 +500,20 @@ class Draw:
                 self._big_scale *= 4
                 self._program_cache.clear()
                 plan = self._get_plan(window)
-                fb, overflow = plan.fn(args)
+                fb, overflow, winners = plan.fn(args)
                 self._frames_since_rebuild = 1
                 need_rebuild = np.asarray(overflow).any()
-            try:  # start the async copy for a later frame's poll
-                overflow.copy_to_host_async()
-            except Exception:
-                pass
-            self._pending_overflow.append(overflow)
+            if not rend.strict_overflow:
+                try:  # start the async copy for a later frame's poll
+                    overflow.copy_to_host_async()
+                except Exception:
+                    pass
+                self._pending_overflow.append(overflow)
         self.last_overflow = overflow
+        # per-pass winner buffers (Renderer.debug_winner): the exact
+        # decision surface for parity assertions — RGBA can flip by
+        # 1 ulp on edges where winner indices cannot
+        self.last_winners = winners
         window.framebuffer = fb
         if rend.collect_stats:
             import time as _time
@@ -527,7 +538,7 @@ class Draw:
     def _poll_overflow_queue(self) -> bool:
         """Consume whatever queued overflow flags have arrived on the
         host (oldest first); block only when the queue backs up beyond
-        8 frames (bounds both memory and detection latency). Returns
+        3 frames (bounds both memory and detection latency). Returns
         True when any consumed flag reports an overflow."""
         hit = False
         q = self._pending_overflow
@@ -538,7 +549,7 @@ class Draw:
                 ready = arr.is_ready()
             except AttributeError:
                 pass
-            if not ready and len(q) <= 8:
+            if not ready and len(q) <= 3:
                 break
             q.pop(0)
             hit |= bool(np.asarray(arr).any())
@@ -556,7 +567,8 @@ class Draw:
         key = (rend.scene_version, window.id,
                tuple(s.id for s, _ in self._items),
                tuple(c is not None for _, c in self._items),
-               window.width, window.height, backend, self._big_scale)
+               window.width, window.height, backend, self._big_scale,
+               getattr(rend, "debug_winner", False))
         plan = self._program_cache.get(key)
         if plan is not None:
             return plan
@@ -600,7 +612,8 @@ class Draw:
             surfaces=surfaces,
             clear_flags=tuple(c is not None for _, c in self._items),
             width=window.width, height=window.height, backend=backend,
-            raster_cfg=raster_cfg, mesh=mesh)
+            raster_cfg=raster_cfg, mesh=mesh,
+            debug_winner=getattr(rend, "debug_winner", False))
         plan.merged = _mergeable(plan)
         plan.fn = jax.jit(functools.partial(_frame_fn, plan))
         self._program_cache[key] = plan

@@ -328,3 +328,97 @@ def test_fused_key_vs_two_key_sort_paths():
 
     for a, b in zip(outs[False], outs[True]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_row_group_split_matches_single_group():
+    """Split-frame binning (row groups, each with its own u32-fitting
+    fused key space and stream segment) must render identically to the
+    single-group path. Real frames only split at huge NT x T (e.g.
+    8-row tiles at 4K with a megatriangle batch); force the group count
+    here so tests pin the multi-group path at small scale."""
+    import unittest.mock as mock
+
+    H, W = 64, 256
+    clip, vary = random_triangles(120, seed=31)
+    valid = jnp.ones(120, bool)
+    tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+
+    d1, w1, n1, e1, o1 = rp.rasterize(tc, H, W, tri_clip=clip, cfg=CFG)
+    assert not bool(np.asarray(o1).any())
+    for groups in (2, 3, 8):
+        with mock.patch.object(rp, "_FORCE_ROW_GROUPS", groups,
+                               create=True):
+            d, w, n, e, o = rp.rasterize(tc, H, W, tri_clip=clip,
+                                         cfg=CFG)
+        assert not bool(np.asarray(o).any())
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d))
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n))
+
+
+def test_big_vs_binned_exact_tie_lowest_id_wins():
+    """A big-list triangle (span > K) tying EXACTLY in depth with a
+    later-submitted binned triangle: the depth resolve's id tie-break
+    must keep the first-submitted (lowest id) even though the kernel
+    evaluates big-list entries after binned ones — submission-order
+    'less' semantics (Pipeline.zig:150-154), now exact for ties across
+    routing classes too."""
+    H, W = 128, 128   # nty=16 at tile_h=8 -> full-frame span 16 > K=8
+    big = np.array([[[-3.0, 3.0, 0.5, 1.0],
+                     [3.0, 3.0, 0.5, 1.0],
+                     [-3.0, -3.0, 0.5, 1.0]]], np.float32)
+    small = np.array([[[-0.5, 0.5, 0.25, 0.5],
+                       [0.5, 0.5, 0.25, 0.5],
+                       [-0.5, -0.5, 0.25, 0.5]]], np.float32)
+    # both planes are z_ndc = 0.5 exactly (z = 0.5*w per vertex)
+    clip = jnp.asarray(np.concatenate([big, small]))
+    vary = jnp.asarray(np.stack([
+        np.full((3, 4), [1, 0, 0, 1], np.float32),
+        np.full((3, 4), [0, 1, 0, 1], np.float32)]))
+    valid = jnp.ones(2, bool)
+    tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+
+    d_r, w_r = rr.rasterize_visibility(tc, H, W)
+    wr = np.asarray(w_r)
+    assert (wr[wr >= 0] == 0).all(), \
+        "oracle: the first-submitted triangle wins the exact tie"
+    d_p, w_p, ovf = rp.rasterize_visibility(
+        tc, H, W, tri_clip=clip, cfg=CFG, return_overflow=True)
+    assert not bool(ovf)
+    np.testing.assert_array_equal(wr, np.asarray(w_p))
+    assert_depth_close(d_r, d_p)
+
+
+def test_span_budget_scales_with_resolution():
+    """auto_span: the span budget grows with the tile grid (sqrt) and is
+    capped by the candidate budget at megatriangle counts, so large
+    frames route triangles through CSR bins instead of degenerating to
+    the shared big list (the 8K cliff, BASELINE.md)."""
+    base = rp.RasterConfig()
+    # demo-scale grids keep the configured budget
+    assert rp._span_budget(20_000, 510, base) == 8
+    # 8K-scale grid (NT ~8100 at 32-row tiles): budget grows ~4x
+    assert rp._span_budget(20_000, 8100, base) == 32
+    # megatriangle batch: candidate budget caps it back to the floor
+    assert rp._span_budget(1_012_784, 8100, base) == 8
+    # auto_span off pins the configured value
+    pinned = rp.RasterConfig(auto_span=False)
+    assert rp._span_budget(20_000, 8100, pinned) == 8
+
+    # integration: a sliver spanning ~11 tiles at a 1024-tile grid is
+    # BINNED under auto_span (budget grows to 12) and big without it
+    H, W = 1024, 1024
+    tri = np.array([[[-0.95, 0.90, 0.5, 1.0],
+                     [-0.93, 0.90, 0.5, 1.0],
+                     [-0.95, 0.74, 0.5, 1.0]]], np.float32)
+    clip = jnp.asarray(tri)
+    vary = jnp.ones((1, 3, 4), jnp.float32)
+    tc = rc.triangle_setup(clip, vary, jnp.ones(1, bool), W, H, "back")
+    cfg_auto = rp.RasterConfig(tile_h=8, tile_w=128, interpret=True)
+    cfg_pin = rp.RasterConfig(tile_h=8, tile_w=128, auto_span=False,
+                              interpret=True)
+    assert rp._span_budget(1, 1024, cfg_auto) >= 11
+    assert int(np.asarray(
+        rp.bin_triangles(tc, clip, H, W, cfg_auto)[4])[0]) == 0
+    assert int(np.asarray(
+        rp.bin_triangles(tc, clip, H, W, cfg_pin)[4])[0]) == 1
