@@ -723,3 +723,19 @@ def shade_from_planes(winner, num, den, fb, fragment_fn):
     varp = jnp.moveaxis(num, 0, -1) / den[..., None]
     rgba = fragment_fn(varp)
     return jnp.where(covered[..., None], rgba, fb)
+
+
+def shade_from_planes_ranges(winner, num, den, fb, ranges):
+    """Dense shading with per-id-range fragment programs: each distinct
+    fragment function runs once over the frame and writes the pixels
+    whose winning triangle id falls in its [start, end) global range —
+    the epilogue that lets ONE merged raster pass mix fragment
+    programs the way the reference's render pass mixes pipelines
+    (``Draw.zig:23-34``, setPipeline per draw inside one pass).
+    Uncovered pixels (winner == -1) match no range."""
+    varp = jnp.moveaxis(num, 0, -1) / den[..., None]
+    for start, end, fn in ranges:
+        rgba = fn(varp)
+        mask = (winner >= start) & (winner < end)
+        fb = jnp.where(mask[..., None], rgba, fb)
+    return fb

@@ -171,10 +171,13 @@ def _build_batches(surface, renderer):
 def _mergeable(plan) -> bool:
     """Surfaces/batches can be rendered in ONE layer-biased raster pass
     when the pallas backend is active, only the first surface clears,
-    every batch writes depth, and all batches share a fragment function.
-    Cull modes may differ (per-triangle cull codes); single-surface
-    multi-batch frames merge too (saves a full bin+kernel pass per
-    extra batch)."""
+    and every batch writes depth. Cull modes AND fragment programs may
+    differ freely — cull folds into per-batch setup, and shading runs
+    once per distinct fragment function masked by the winner's global
+    id range (the reference's render pass likewise mixes pipelines in
+    one submit, ``Draw.zig:23-34`` + ``Instance.zig:40-50``).
+    Single-surface multi-batch frames merge too (saves a full
+    bin+kernel pass per extra batch)."""
     if plan.backend != "pallas":
         return False
     if any(plan.clear_flags[1:]):
@@ -182,10 +185,7 @@ def _mergeable(plan) -> bool:
     batches = [b for s in plan.surfaces for b in s.batches]
     if len(batches) < 2:
         return False
-    p0 = batches[0].pipeline
-    return all(b.pipeline.fragment_fn is p0.fragment_fn
-               and b.pipeline.depth_write
-               for b in batches)
+    return all(b.pipeline.depth_write for b in batches)
 
 
 # --------------------------------------------------------------------------
@@ -194,7 +194,25 @@ def _mergeable(plan) -> bool:
 
 def _batch_vertex_products(plan, args, world):
     """Run every surface's vertex stage; yields
-    (s_i, batch, tri_clip, tri_vary, valid) in submission order."""
+    (s_i, batch, tri_clip, tri_vary, valid) in submission order.
+
+    Multi-chip (``plan.mesh``): the vertex stage is SHARDED over
+    triangles across the mesh devices — the vertex-stream inputs and
+    the stage outputs carry 'rows'-axis sharding constraints, so the
+    transform/setup/pack chain partitions across chips and only the
+    packed post-setup rows are all-gathered (at the raster stage's
+    replication pin in ``_raster_packed``). Without this the whole
+    pre-kernel stage would be replicated per device — ~40% of the
+    stretch frame (SURVEY.md §5.8 'binned to chips')."""
+    shard_v = None
+    if plan.mesh is not None and plan.backend == "pallas":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard_v = NamedSharding(plan.mesh, P("rows"))
+
+        def pin(x, extra_dims=0):
+            s = NamedSharding(plan.mesh,
+                              P(*(("rows",) + (None,) * extra_dims)))
+            return jax.lax.with_sharding_constraint(x, s)
     out = []
     for s_i, splan in enumerate(plan.surfaces):
         sargs = args["surfaces"][s_i]
@@ -220,6 +238,8 @@ def _batch_vertex_products(plan, args, world):
                         for ordinal, fv, count in b.rowspec]
                 packed = (jnp.concatenate(rows, axis=0) if len(rows) > 1
                           else rows[0])
+                if shard_v is not None:
+                    packed = pin(packed, 1)
                 attrs = {name: packed[:, off:off + wdt]
                          for name, (off, wdt) in b.attr_offsets.items()}
 
@@ -227,22 +247,41 @@ def _batch_vertex_products(plan, args, world):
                         else arrs[0][None]
                         for loc, arrs in bargs["bindings"].items()}
 
+            vidx = jnp.asarray(b.vertex_index)
+            iids = jnp.asarray(b.iids)
+            dinst = jnp.asarray(b.draw_instance)
+            if shard_v is not None:
+                vidx, iids, dinst = pin(vidx), pin(iids), pin(dinst)
             clip, vary = vs.run_vertex_stage(
-                b.pipeline.vertex_fn, jnp.asarray(b.vertex_index), attrs,
-                clip_mats, jnp.asarray(b.iids), bindings,
+                b.pipeline.vertex_fn, vidx, attrs,
+                clip_mats, iids, bindings,
                 vertex_batch_fn=(b.pipeline.vertex_batch_fn
                                  if b.use_batch_fn else None),
-                draw_instances=jnp.asarray(b.draw_instance))
+                draw_instances=dinst)
 
             tri_iid = jnp.asarray(b.iids[::3])
             if isinstance(clip, rc.PlanarTris):
+                if shard_v is not None:
+                    clip = rc.PlanarTris(
+                        jax.lax.with_sharding_constraint(
+                            clip.clip, _shard_last(plan.mesh)),
+                        jax.lax.with_sharding_constraint(
+                            clip.vary, _shard_last(plan.mesh)))
                 # planar end-to-end path: no [V,4] -> [T,3,4] relayout
                 out.append((s_i, b, clip, None, inst_vis[tri_iid]))
                 continue
+            if shard_v is not None:
+                clip, vary = pin(clip, 1), pin(vary, 1)
             tri_clip = clip.reshape(b.tri_count, 3, 4)
             tri_vary = vary.reshape(b.tri_count, 3, vary.shape[-1])
             out.append((s_i, b, tri_clip, tri_vary, inst_vis[tri_iid]))
     return out
+
+
+def _shard_last(mesh):
+    """PlanarTris sharding: the triangle axis is LAST ([3, 4, T])."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(mesh, P(None, None, "rows"))
 
 
 def _clip_near(plan, tri_clip, tri_vary, valid, overflow, z_bias=None,
@@ -279,32 +318,55 @@ def _setup_batch(plan, tri_clip, tri_vary, valid, cull_mode, overflow,
     packed = rc.pack_coeffs_full(tc, base=base_index)
     bbox = raster_pallas.viewport_bbox(tri_clip, plan.width,
                                        plan.height)
-    return packed, tc.valid, bbox, overflow
+    valid = tc.valid
+    if plan.mesh is not None:
+        # keep the setup/pack chain sharded over triangles; the raster
+        # stage's replication pin (one all-gather of these rows) is the
+        # only collective (_raster_packed)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = plan.mesh
+        packed = jax.lax.with_sharding_constraint(
+            packed, NamedSharding(mesh, P("rows", None)))
+        valid = jax.lax.with_sharding_constraint(
+            valid, NamedSharding(mesh, P("rows")))
+        bbox = tuple(jax.lax.with_sharding_constraint(
+            c, NamedSharding(mesh, P("rows"))) for c in bbox)
+    return packed, valid, bbox, overflow
 
 
-def _raster_packed(plan, packed, valid, bbox, depth, fb, fragment_fn,
+def _raster_packed(plan, packed, valid, bbox, depth, fb, ranges,
                    overflow):
     """Pallas raster + shade of packed batches. ONE pass regardless of
     triangle count: the kernel streams coefficient rows from HBM
-    (raster_pallas module docstring). With ``plan.mesh`` set, the
-    framebuffer/depth are sharded by pixel rows over the mesh's 'rows'
-    axis and each device rasterizes its own band (bit-identical to the
-    same rows of a single-device render; rasterization needs no
-    cross-band reduction, so the only collective is the output staying
-    sharded). Returns (depth, fb, winner, overflow)."""
+    (raster_pallas module docstring). ``ranges`` is the shading plan:
+    (start, end, fragment_fn) triples over global winner-id ranges
+    (one per distinct fragment program — heterogeneous pipelines share
+    the single pass). With ``plan.mesh`` set, the framebuffer/depth are
+    sharded by pixel rows over the mesh's 'rows' axis and each device
+    rasterizes its own band (bit-identical to the same rows of a
+    single-device render; rasterization needs no cross-band reduction,
+    so the only collective is the output staying sharded).
+    Returns (depth, fb, winner, overflow)."""
     from ..ops import raster_pallas
     if plan.mesh is None:
         depth, winner, num, den, ovf = raster_pallas.rasterize_packed(
             packed, valid, bbox, plan.height, plan.width, depth=depth,
             cfg=plan.raster_cfg, y0=0, vp_height=plan.height)
-        fb = raster_pallas.shade_from_planes(winner, num, den, fb,
-                                             fragment_fn)
+        fb = raster_pallas.shade_from_planes_ranges(winner, num, den,
+                                                    fb, ranges)
         return depth, fb, winner, overflow.at[:2].set(
             overflow[:2] | ovf)
 
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
     mesh = plan.mesh
     band = plan.height // mesh.shape["rows"]
+
+    # THE all-gather: the triangle-sharded setup/pack outputs become
+    # replicated exactly here (every band rasterizes the full set)
+    rep = NamedSharding(mesh, P())
+    packed = jax.lax.with_sharding_constraint(packed, rep)
+    valid = jax.lax.with_sharding_constraint(valid, rep)
+    bbox = tuple(jax.lax.with_sharding_constraint(c, rep) for c in bbox)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -316,8 +378,8 @@ def _raster_packed(plan, packed, valid, bbox, depth, fb, fragment_fn,
         d, w, num, den, o = raster_pallas.rasterize_packed(
             pk, vl, bx, band, plan.width, depth=depth_band,
             cfg=plan.raster_cfg, y0=y0, vp_height=plan.height)
-        f = raster_pallas.shade_from_planes(w, num, den, fb_band,
-                                            fragment_fn)
+        f = raster_pallas.shade_from_planes_ranges(w, num, den,
+                                                   fb_band, ranges)
         return d, f, w, o[None]       # [1, 2] -> [n_rows, 2] gathered
 
     depth, fb, winner, ovf_rows = body(packed, valid, bbox, depth, fb)
@@ -346,7 +408,7 @@ def _frame_fn(plan: _FramePlan, args):
         # per-batch clip + setup + pack (static bias/cull fold in
         # there); across batches only [T, 32] row blocks and flat
         # vectors concatenate. Ids are global submission ranks.
-        packs, valids, bboxes = [], [], []
+        packs, valids, bboxes, ranges = [], [], [], []
         base = 0
         for s_i, b, tri_clip, tri_vary, valid in products:
             bias = 2.0 * (S - 1 - s_i) if S > 1 else None
@@ -356,17 +418,24 @@ def _frame_fn(plan: _FramePlan, args):
             packs.append(packed)
             valids.append(v)
             bboxes.append(bbox)
-            base += packed.shape[0]
+            end = base + packed.shape[0]
+            # shading plan: adjacent batches sharing a fragment program
+            # coalesce into one id range (the demo's 3 batches share
+            # the default passthrough -> ONE dense shade, as before)
+            fn = b.pipeline.fragment_fn
+            if ranges and ranges[-1][2] is fn and ranges[-1][1] == base:
+                ranges[-1] = (ranges[-1][0], end, fn)
+            else:
+                ranges.append((base, end, fn))
+            base = end
         one = len(packs) == 1
         packed = packs[0] if one else jnp.concatenate(packs)
         valid = valids[0] if one else jnp.concatenate(valids)
         bbox = tuple(cs[0] if one else jnp.concatenate(cs)
                      for cs in zip(*bboxes))
-        shared = plan.surfaces[0].batches[0].pipeline
         depth = jnp.full((H, W), 2.0 * (S - 1) + 1.0, jnp.float32)
         _depth, fb, winner, overflow = _raster_packed(
-            plan, packed, valid, bbox, depth, fb, shared.fragment_fn,
-            overflow)
+            plan, packed, valid, bbox, depth, fb, ranges, overflow)
         if plan.debug_winner:
             winners.append(winner)
         return fb, overflow, tuple(winners)
@@ -390,7 +459,8 @@ def _frame_fn(plan: _FramePlan, args):
                     b.pipeline.cull_mode, overflow)
                 depth2, fb, winner, overflow = _raster_packed(
                     plan, packed, v, bbox, depth, fb,
-                    b.pipeline.fragment_fn, overflow)
+                    [(0, packed.shape[0], b.pipeline.fragment_fn)],
+                    overflow)
                 if plan.debug_winner:
                     winners.append(winner)
                 if b.pipeline.depth_write:
@@ -530,6 +600,13 @@ class Draw:
                                       else (now - last) * 1000.0),
                 "backend": plan.backend,
                 "big_scale": self._big_scale,
+                # merged = ONE bin+kernel pass for the whole frame;
+                # False means per-batch passes (a surface after the
+                # first clears, or a depth_write=False pipeline)
+                "merged": plan.merged,
+                "fragment_programs": len(
+                    {b.pipeline.fragment_fn
+                     for s in plan.surfaces for b in s.batches}),
             }
         return fb
 

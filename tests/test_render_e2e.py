@@ -638,3 +638,68 @@ def test_planar_batch_vertex_interface():
     planar_fb = build(batch=True)
     vmapped_fb = build(batch=False)
     np.testing.assert_array_equal(planar_fb, vmapped_fb)
+
+
+def test_heterogeneous_fragment_programs_merge_into_one_pass():
+    """Two pipelines with DIFFERENT fragment programs render in ONE
+    merged bin+kernel pass (shaded per winner-id range), pixels matching
+    the sequential per-batch path — the reference's render pass mixes
+    pipelines freely inside one submit (Draw.zig:23-34)."""
+    import unittest.mock as mock
+
+    from myrenderer_tpu.renderer import draw as draw_mod
+
+    def build():
+        rend, window = make_renderer(64, 64, backend="pallas")
+        rend.debug_winner = True
+        rend.collect_stats = True
+        pipe_a, layout = flat_pipeline(rend)
+
+        def inverted_fragment(c):
+            return jnp.concatenate([1.0 - c[..., :3], c[..., 3:]], -1)
+
+        def vfn(ctx):
+            p = ctx.attr("pos")
+            clip = ctx.world @ jnp.array([p[0], p[1], 1.0, 1.0],
+                                         jnp.float32)
+            c = ctx.attr("color")
+            return clip, jnp.array([c[0], c[1], c[2], 1.0], jnp.float32)
+
+        pipe_b = Pipeline.create(
+            rend, vertex_fn=vfn, fragment_fn=inverted_fragment,
+            bindings=[BindingLayout(0, BUILTIN_TRANSFORM)],
+            vertex_layout=layout)
+        root = SceneNode.create(rend)
+        root.add_child(triangle_node(rend, pipe_a, layout,
+                                     [(0.1, 0.1), (0.9, 0.1), (0.1, 0.9)],
+                                     color=(1, 0, 0)))
+        root.add_child(triangle_node(rend, pipe_b, layout,
+                                     [(0.3, 0.9), (0.9, 0.3), (0.9, 0.9)],
+                                     color=(1, 0, 0)))
+        surf = Surface.create_window_scene(rend, window, root)
+        surf.set_perspective(ortho_unit())
+        return rend, surf
+
+    rend, surf = build()
+    fb_merged = render_frame(rend, [surf], clear=(0, 0, 1, 1))
+    assert rend.frame_stats["merged"] is True
+    assert rend.frame_stats["fragment_programs"] == 2
+    win_merged = np.asarray(rend.draws[0].last_winners[0])
+
+    rend2, surf2 = build()
+    with mock.patch.object(draw_mod, "_mergeable", lambda plan: False):
+        fb_seq = render_frame(rend2, [surf2], clear=(0, 0, 1, 1))
+    assert rend2.frame_stats["merged"] is False
+    wins_seq = [np.asarray(w) for w in rend2.draws[0].last_winners]
+
+    # both fragment programs visible: passthrough red + inverted cyan
+    red = (fb_merged[..., 0] > 0.9) & (fb_merged[..., 1] < 0.1) \
+        & (fb_merged[..., 2] < 0.1)
+    cyan = (fb_merged[..., 0] < 0.1) & (fb_merged[..., 1] > 0.9) \
+        & (fb_merged[..., 2] > 0.9)
+    assert red.any() and cyan.any()
+    np.testing.assert_allclose(fb_merged, fb_seq, atol=1e-5)
+    # coverage decisions agree (merged winners are global ids, the
+    # sequential passes' are per-batch-local, so compare coverage)
+    np.testing.assert_array_equal(
+        win_merged >= 0, (wins_seq[0] >= 0) | (wins_seq[1] >= 0))

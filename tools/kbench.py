@@ -147,12 +147,27 @@ def main():
           " ms", flush=True)
 
     if not args.skip_split:
-        # binning internals: the (tile,tri)-key sort and the stream
-        # gather, on the REAL key distribution (duplicates the front of
-        # bin_triangles so each piece can be timed in isolation)
-        K = cfg.max_tiles_per_tri
+        # binning internals: the per-row-group (tile,tri)-key sorts and
+        # the stream gather, on the REAL key distribution. Mirrors
+        # bin_packed's geometry exactly — span budget, row-group split
+        # and the i32/u32 dtype ladder — so the timed sort runs on the
+        # same dtype/key space as the real frame (an earlier version
+        # re-derived keys as plain i32 and silently wrapped at
+        # megatriangle scale; ADVICE r2).
         nty, ntx = -(-H // cfg.tile_h), -(-W // cfg.tile_w)
         NT = nty * ntx
+        K = rp._span_budget(T, NT, cfg)
+
+        def group_space(rows):
+            return (rows * ntx + 1) * (T + 1)
+
+        F = 1
+        while F < min(nty, 8) and group_space(-(-nty // F)) >= 2**32:
+            F += 1
+        rpg = -(-nty // F)
+        dt = jnp.int32 if group_space(rpg) < 2**31 else jnp.uint32
+        print(f"bin internals: K={K} groups={F} dtype={dt.__name__}",
+              flush=True)
 
         def real_keys(c, tc):
             wv = jnp.maximum(c[..., 3], rc.W_EPS)
@@ -174,30 +189,44 @@ def main():
             ex = e[None, :] % jnp.maximum(sx, 1)[:, None]
             tile = (ty0[:, None] + ey) * ntx + (tx0[:, None] + ex)
             live = small[:, None] & (e[None, :] < span[:, None])
-            tile = jnp.where(live, tile, NT)
+            tile = jnp.where(live, tile, NT).reshape(-1)
             tri = jnp.broadcast_to(
-                jnp.arange(T, dtype=jnp.int32)[:, None], (T, K))
-            return (tile.reshape(-1) * (T + 1) + tri.reshape(-1))
+                jnp.arange(T, dtype=jnp.int32)[:, None],
+                (T, K)).reshape(-1)
+            keys = []
+            for g in range(F):
+                base = g * rpg * ntx
+                ntg = min(rpg, nty - g * rpg) * ntx
+                if ntg <= 0:
+                    break
+                in_g = (tile >= base) & (tile < base + ntg)
+                ltile = jnp.where(in_g, tile - base, ntg)
+                keys.append(jnp.sort(ltile.astype(dt) * dt(T + 1)
+                                     + tri.astype(dt), stable=False))
+            return keys
 
         @jax.jit
         def sort_only(c, v, vl):
             tc = rc.triangle_setup(c, v, vl, W, H, "back")
-            return jnp.sort(real_keys(c, tc), stable=False)
+            return real_keys(c, tc)
 
         @jax.jit
         def gather_only(c, v, vl):
             tc = rc.triangle_setup(c, v, vl, W, H, "back")
             packed = rc.pack_coeffs_full(tc)
-            keys = jnp.sort(real_keys(c, tc), stable=False)
-            idx = jnp.clip(keys % (T + 1), 0, T - 1)
-            return packed[idx]
+            outs = []
+            for keys in real_keys(c, tc):
+                idx = jnp.clip((keys % dt(T + 1)).astype(jnp.int32),
+                               0, T - 1)
+                outs.append(packed[idx])
+            return outs
 
         t_sort = timeit("setup+sort       ", sort_only, variants,
                         (vary, valid))
         t_gath = timeit("setup+sort+gather", gather_only, variants,
                         (vary, valid))
         print(f"  => sort ~{t_sort - t_set:.3f} ms, "
-              f"gather ~{t_gath - t_sort:.3f} ms", flush=True)
+              f"gather(full K*T) ~{t_gath - t_sort:.3f} ms", flush=True)
 
     d, w, _n, _dn, ovf = jax.block_until_ready(full(variants[0], vary,
                                                     valid))
