@@ -129,7 +129,8 @@ def main(argv=None):
                     help="write every frame as frame_%%04d.png")
     ap.add_argument("--raster", default=None,
                     help="RasterConfig override 'th,tw,chunk,window"
-                         "[,tiles_x]' (kernel tuning sweeps)")
+                         "[,tiles_x[,span_budget]]' (kernel tuning "
+                         "sweeps; a 6th value pins max_tiles_per_tri)")
     args = ap.parse_args(argv)
 
     raster = None
@@ -142,7 +143,10 @@ def main(argv=None):
         # must be opted into explicitly via the 5th value
         raster = RasterConfig(tile_h=th, tile_w=tw, chunk=chunk,
                               stream_window=window,
-                              tiles_x=vals[4] if len(vals) > 4 else 1)
+                              tiles_x=vals[4] if len(vals) > 4 else 1,
+                              **({"max_tiles_per_tri": vals[5],
+                                  "auto_span": False}
+                                 if len(vals) > 5 else {}))
     w, h = (int(v) for v in args.size.split("x"))
     app = DemoApp(width=w, height=h, heightmap=args.heightmap,
                   backend=args.backend, raster=raster)

@@ -136,7 +136,8 @@ def main(argv=None):
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--raster", default=None,
                     help="RasterConfig override 'th,tw,chunk,window"
-                         "[,tiles_x]' (kernel tuning sweeps)")
+                         "[,tiles_x[,span_budget]]' (kernel tuning "
+                         "sweeps; a 6th value pins max_tiles_per_tri)")
     args = ap.parse_args(argv)
 
     raster = None
@@ -146,7 +147,10 @@ def main(argv=None):
         th, tw, chunk, window = vals[:4]
         raster = RasterConfig(tile_h=th, tile_w=tw, chunk=chunk,
                               stream_window=window,
-                              tiles_x=vals[4] if len(vals) > 4 else 1)
+                              tiles_x=vals[4] if len(vals) > 4 else 1,
+                              **({"max_tiles_per_tri": vals[5],
+                                  "auto_span": False}
+                                 if len(vals) > 5 else {}))
 
     import jax
     w, h = (int(v) for v in args.size.split("x"))

@@ -289,25 +289,22 @@ def _clip_straddlers(tri_clip: jax.Array, tri_vary: jax.Array):
     return tri1_clip, tri1_vary, tri2_clip, tri2_vary, valid1, valid2
 
 
-def clip_near_capacity(tri_clip: jax.Array, tri_vary: jax.Array,
-                       valid: jax.Array, cap: int,
-                       z_bias: jax.Array | None = None,
-                       cull_codes: jax.Array | None = None):
-    """Eye-plane clipping stage with a static capacity.
+def select_straddlers(tri_clip: jax.Array, tri_vary: jax.Array,
+                      valid: jax.Array, cap: int):
+    """Eye-plane straddler extraction + Sutherland–Hodgman clip, WITHOUT
+    touching the main arrays.
 
     Gathers up to ``cap`` straddling triangles (any vertex at
     w <= W_EPS while another is in front — exactly the set
-    triangle_setup's w_ok drops) in submission order, clips each to <= 2
-    triangles, and appends them as 2*cap extra slots. Returns
-    (tri_clip [T+2cap, 3, 4], tri_vary, valid, z_bias | None,
-    cull_codes | None, overflow bool[]) — clipped fragments inherit
-    their source triangle's z_bias / cull code; ``overflow`` set when
-    more than ``cap``
-    triangles straddle (Draw reacts like big-list overflow: bump and
-    re-render). Appending moves clipped fragments to the end of the
-    submission order; only exact depth ties against later triangles can
-    observe this.
-    """
+    triangle_setup's w_ok drops) in submission order and clips each to
+    <= 2 triangles. Returns (app_clip [2cap, 3, 4], app_vary
+    [2cap, 3, C], app_valid bool[2cap], sel i32[cap] source indices,
+    overflow bool[]) — the appendee block alone; callers append it
+    after the (unmodified) main batch, so the main [T, 3, 4] arrays are
+    never copied (a pair of ~1 ms whole-array relayouts per megatriangle
+    batch in the previous concatenating formulation). ``overflow`` set
+    when more than ``cap`` triangles straddle (Draw reacts like
+    big-list overflow: bump and re-render)."""
     planar = isinstance(tri_clip, PlanarTris)
     if planar:
         T = tri_clip.count
@@ -333,34 +330,46 @@ def clip_near_capacity(tri_clip: jax.Array, tri_vary: jax.Array,
 
     if planar:
         # straddler extraction is tiny (<= cap rows): planar -> small
-        # interleaved slices for the S-H clipper, planar back for concat
+        # interleaved slices for the S-H clipper
         sel_clip = jnp.transpose(tri_clip.clip[:, :, sel], (2, 0, 1))
         sel_vary = jnp.transpose(tri_clip.vary[:, :, sel], (2, 0, 1))
-        (t1c, t1v, t2c, t2v, v1, v2) = _clip_straddlers(sel_clip,
-                                                        sel_vary)
-        v1 = v1 & sel_live
-        v2 = v2 & sel_live
-        out_clip = tri_clip.concat(
-            PlanarTris.from_interleaved(t1c, t1v),
-            PlanarTris.from_interleaved(t2c, t2v))
-        out_vary = None
-        out_valid = jnp.concatenate([valid, v1, v2])
-        if z_bias is not None:
-            zb = z_bias[sel]
-            z_bias = jnp.concatenate([z_bias, zb, zb])
-        if cull_codes is not None:
-            cc = cull_codes[sel]
-            cull_codes = jnp.concatenate([cull_codes, cc, cc])
-        return out_clip, out_vary, out_valid, z_bias, cull_codes, \
-            overflow
+    else:
+        sel_clip = tri_clip[sel]
+        sel_vary = tri_vary[sel]
+    (t1c, t1v, t2c, t2v, v1, v2) = _clip_straddlers(sel_clip, sel_vary)
+    app_clip = jnp.concatenate([t1c, t2c])
+    app_vary = jnp.concatenate([t1v, t2v])
+    app_valid = jnp.concatenate([v1 & sel_live, v2 & sel_live])
+    return app_clip, app_vary, app_valid, sel, overflow
 
-    (t1c, t1v, t2c, t2v, v1, v2) = _clip_straddlers(tri_clip[sel],
-                                                    tri_vary[sel])
-    v1 = v1 & sel_live
-    v2 = v2 & sel_live
-    out_clip = jnp.concatenate([tri_clip, t1c, t2c])
-    out_vary = jnp.concatenate([tri_vary, t1v, t2v])
-    out_valid = jnp.concatenate([valid, v1, v2])
+
+def clip_near_capacity(tri_clip: jax.Array, tri_vary: jax.Array,
+                       valid: jax.Array, cap: int,
+                       z_bias: jax.Array | None = None,
+                       cull_codes: jax.Array | None = None):
+    """Eye-plane clipping stage with a static capacity: the clipped
+    appendees of :func:`select_straddlers` concatenated after the main
+    batch. Returns (tri_clip [T+2cap, 3, 4], tri_vary, valid,
+    z_bias | None, cull_codes | None, overflow bool[]) — clipped
+    fragments inherit their source triangle's z_bias / cull code.
+    Appending moves clipped fragments to the end of the submission
+    order; only exact depth ties against later triangles can observe
+    this. (The pallas frame program uses :func:`select_straddlers`
+    directly and appends only packed rows; this concatenating wrapper
+    serves the oracle path and the standalone sharding API.)
+    """
+    app_clip, app_vary, app_valid, sel, overflow = select_straddlers(
+        tri_clip, tri_vary, valid, cap)
+    if isinstance(tri_clip, PlanarTris):
+        half = app_clip.shape[0] // 2
+        out_clip = tri_clip.concat(
+            PlanarTris.from_interleaved(app_clip[:half], app_vary[:half]),
+            PlanarTris.from_interleaved(app_clip[half:], app_vary[half:]))
+        out_vary = None
+    else:
+        out_clip = jnp.concatenate([tri_clip, app_clip])
+        out_vary = jnp.concatenate([tri_vary, app_vary])
+    out_valid = jnp.concatenate([valid, app_valid])
     if z_bias is not None:
         zb = z_bias[sel]
         z_bias = jnp.concatenate([z_bias, zb, zb])
@@ -418,6 +427,19 @@ def edge_is_top_left(a: jax.Array, b: jax.Array) -> jax.Array:
     return (a > 0) | ((a == 0) & (b > 0))
 
 
+# Top-left fill-rule epsilon: the smallest NORMAL f32. A top-left edge
+# passes coverage at e == 0 via (e + eps) > 0; a non-top-left edge
+# stays strict. Exactly the classical rule at every representable
+# non-subnormal e (including -0.0, which compares == 0 in the old
+# spelling and gets +eps > 0 here). The only divergence is subnormal
+# negative e on a top-left edge — a value the TPU VPU flushes to -0.0
+# anyway, so this spelling is MORE consistent between the CPU oracle
+# and hardware than the exact-zero compare, and 2 vector ops per edge
+# instead of 4. A doubly-covered shared-edge pixel (both triangles
+# within eps) is resolved deterministically by the id depth tie-break.
+_TL_EPS = 1.17549435e-38
+
+
 def coverage_depth(tc_row_px, px, py):
     """Evaluate one triangle's coverage mask and depth over a pixel grid.
 
@@ -430,12 +452,15 @@ def coverage_depth(tc_row_px, px, py):
     """
     (a0, b0, c0, a1, b1, c1, a2, b2, c2,
      zna, znb, znc, wna, wnb, wnc, zhi) = tc_row_px
+    f32 = jnp.float32
+    # per-row scalar epsilons (broadcast against the pixel grid)
+    tl0 = edge_is_top_left(a0, b0).astype(f32) * f32(_TL_EPS)
+    tl1 = edge_is_top_left(a1, b1).astype(f32) * f32(_TL_EPS)
+    tl2 = edge_is_top_left(a2, b2).astype(f32) * f32(_TL_EPS)
     e0 = a0 * px + b0 * py + c0
     e1 = a1 * px + b1 * py + c1
     e2 = a2 * px + b2 * py + c2
-    cov = (((e0 > 0) | ((e0 == 0) & edge_is_top_left(a0, b0)))
-           & ((e1 > 0) | ((e1 == 0) & edge_is_top_left(a1, b1)))
-           & ((e2 > 0) | ((e2 == 0) & edge_is_top_left(a2, b2))))
+    cov = ((e0 + tl0 > 0) & (e1 + tl1 > 0) & (e2 + tl2 > 0))
     zn = zna * px + znb * py + znc
     wn = wna * px + wnb * py + wnc
     z = zn / wn

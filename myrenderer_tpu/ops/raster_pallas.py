@@ -232,12 +232,18 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     small = valid & (span <= K)
     big = valid & (span > K)
 
-    # K candidate tiles per triangle, row-major over its bbox tile rect
-    e = jnp.arange(K, dtype=jnp.int32)                 # [K]
-    ey = e[None, :] // jnp.maximum(sx, 1)[:, None]     # [T, K]
-    ex = e[None, :] % jnp.maximum(sx, 1)[:, None]
-    tile = (ty0[:, None] + ey) * ntx + (tx0[:, None] + ex)
-    live = small[:, None] & (e[None, :] < span[:, None])
+    # K candidate tiles per triangle, row-major over its bbox tile
+    # rect. [K, T] layout — K on SUBLANES, T on lanes: a [T, K=8]
+    # array leaves 120 of 128 vector lanes dead (measured ~0.8 ms per
+    # elementwise op at 1M triangles); [K, T] tiles (8, 128) fully.
+    # The bin sort is order-oblivious, so the K-major flattening is
+    # free.
+    eK = jnp.arange(K, dtype=jnp.int32)[:, None]       # [K, 1]
+    sxr = jnp.maximum(sx, 1)[None, :]                  # [1, T]
+    ey = eK // sxr                                     # [K, T]
+    ex = eK - ey * sxr                                 # == eK % sxr
+    tile = (ty0[None, :] + ey) * ntx + (tx0[None, :] + ex)
+    live = small[None, :] & (eK < span[None, :])
     tile = jnp.where(live, tile, NT)                   # NT = invalid bucket
 
     # sort incidences by (tile, tri): per-tile contiguity, ascending
@@ -255,8 +261,8 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     # two-key sort remains the fallback for key spaces beyond F=8
     # groups (no hard wall).
     tri_idx = jnp.arange(T, dtype=jnp.int32)
-    tile_flat = tile.reshape(-1)
-    tri_flat = jnp.broadcast_to(tri_idx[:, None], (T, K)).reshape(-1)
+    tile_flat = tile.reshape(-1)                       # K-major [K*T]
+    tri_flat = jnp.broadcast_to(tri_idx[None, :], (K, T)).reshape(-1)
     tile_range = jnp.arange(NT, dtype=jnp.int32)
 
     # Stream capacity: dead incidence slots sort to the tail past every
@@ -320,13 +326,22 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
             ltile = jnp.where(in_g, tile_flat - base, ntg)
             keys = jnp.sort(ltile.astype(dt) * dt(T + 1)
                             + tri_flat.astype(dt), stable=False)
-            lrange = jnp.arange(ntg, dtype=jnp.int32)
-            lstarts = jnp.searchsorted(
-                keys, lrange.astype(dt) * dt(T + 1)).astype(jnp.int32)
-            lends = jnp.searchsorted(
-                keys, (lrange + 1).astype(dt) * dt(T + 1)).astype(
-                    jnp.int32)
-            live_l.append(lends[-1] if ntg > 0 else jnp.int32(0))
+            # ONE searchsorted for starts AND ends: ends[t] ==
+            # starts[t+1] (tile segments are adjacent), and the query
+            # row t = ntg lands on the dead-key base = live count.
+            # method='sort' merges queries+keys in one extra cheap
+            # sort (the default binary-search scan lowers to a while
+            # loop costing ~1.1 ms/frame on the demo's 2k-tile grid);
+            # at megatriangle candidate counts a variadic merge sort
+            # would dominate, so large arrays keep the scan.
+            method = "sort" if K * T <= 2**21 else "scan"
+            lrange = jnp.arange(ntg + 1, dtype=jnp.int32)
+            bounds = jnp.searchsorted(
+                keys, lrange.astype(dt) * dt(T + 1),
+                method=method).astype(jnp.int32)
+            lstarts = bounds[:-1]
+            lends = bounds[1:]
+            live_l.append(bounds[-1])
             lends = jnp.minimum(lends, Sg)
             lstarts = jnp.minimum(lstarts, Sg)
             keys_cap = keys[:Sg]
@@ -337,12 +352,17 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
             # keys costs several redundant megaslices per frame
             ids = jnp.clip((keys_cap % dt(T + 1)).astype(jnp.int32),
                            0, max(T - 1, 0))
-            streams.append(packed128[ids])
+            streams.append(ids)
             starts_l.append(lstarts + g * Sg)
             counts_l.append(lends - lstarts)
         starts = jnp.concatenate(starts_l) if F > 1 else starts_l[0]
         counts = jnp.concatenate(counts_l) if F > 1 else counts_l[0]
-        stream = jnp.concatenate(streams) if F > 1 else streams[0]
+        # concat the (cheap i32) indices and run ONE row gather for all
+        # groups: gathering per group then concatenating [Sg, 128] f32
+        # streams costs a full extra stream-sized copy (measured 3.2 ms
+        # at 4K/1M with F=2)
+        idx_all = jnp.concatenate(streams) if F > 1 else streams[0]
+        stream = packed128[idx_all]
         overflow_stream = jnp.stack(live_l).max() > Sg
     else:
         tile_sorted, tri_sorted2 = lax.sort((tile_flat, tri_flat),

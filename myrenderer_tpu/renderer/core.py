@@ -135,6 +135,12 @@ class Renderer:
         # deterministic where shaded RGBA can flip by 1 ulp on edges).
         self.debug_winner = False
 
+        # Opt-in: compile the NEXT capacity-ladder step (big_scale x4)
+        # in a background thread after each plan build, so an overflow
+        # bump re-renders against a warm compilation cache instead of
+        # stalling for a full XLA compile (Draw._maybe_warm_next_capacity).
+        self.precompile_capacity_bump = False
+
         # When True, Draw.end checks every frame's capacity-overflow
         # flag synchronously before publishing and re-renders flagged
         # frames with bumped capacity: NO published frame ever drops

@@ -310,15 +310,29 @@ def _setup_batch(plan, tri_clip, tri_vary, valid, cull_mode, overflow,
     Returns (packed, valid, bbox, overflow); ``base_index`` offsets the
     packed id lane to the batch's global submission rank."""
     from ..ops import raster_pallas
-    tri_clip, tri_vary, valid, _zb, _cc, overflow = _clip_near(
-        plan, tri_clip, tri_vary, valid, overflow)
+    # eye-plane straddlers clip into a SMALL appendee block; the main
+    # arrays are never copied (select_straddlers) — main and appendees
+    # are set up separately and only their packed [*, 32] rows concat
+    cap = plan.raster_cfg.clip_capacity * plan.raster_cfg.big_scale
+    app_clip, app_vary, app_valid, _sel, clip_ovf = rc.select_straddlers(
+        tri_clip, tri_vary, valid, cap)
+    overflow = overflow.at[2].set(overflow[2] | clip_ovf)
+    T = (tri_clip.count if isinstance(tri_clip, rc.PlanarTris)
+         else tri_clip.shape[0])
     bias = None if z_bias is None else jnp.float32(z_bias)
     tc = rc.triangle_setup(tri_clip, tri_vary, valid, plan.width,
                            plan.height, cull_mode, z_bias=bias)
-    packed = rc.pack_coeffs_full(tc, base=base_index)
-    bbox = raster_pallas.viewport_bbox(tri_clip, plan.width,
-                                       plan.height)
-    valid = tc.valid
+    tc_app = rc.triangle_setup(app_clip, app_vary, app_valid,
+                               plan.width, plan.height, cull_mode,
+                               z_bias=bias)
+    packed = jnp.concatenate([
+        rc.pack_coeffs_full(tc, base=base_index),
+        rc.pack_coeffs_full(tc_app, base=base_index + T)])
+    bbox = tuple(jnp.concatenate(c) for c in zip(
+        raster_pallas.viewport_bbox(tri_clip, plan.width, plan.height),
+        raster_pallas.viewport_bbox(app_clip, plan.width,
+                                    plan.height)))
+    valid = jnp.concatenate([tc.valid, tc_app.valid])
     if plan.mesh is not None:
         # keep the setup/pack chain sharded over triangles; the raster
         # stage's replication pin (one all-gather of these rows) is the
@@ -500,6 +514,8 @@ class Draw:
         self._last_end_time = None
         self.last_overflow = None
         self.last_winners = ()
+        self._warmed_scales: set = set()
+        self._warm_thread = None
         self.id = renderer._register(renderer.draws, self)
 
     @staticmethod
@@ -579,6 +595,7 @@ class Draw:
                 except Exception:
                     pass
                 self._pending_overflow.append(overflow)
+            self._maybe_warm_next_capacity(window, args)
         self.last_overflow = overflow
         # per-pass winner buffers (Renderer.debug_winner): the exact
         # decision surface for parity assertions — RGBA can flip by
@@ -612,6 +629,43 @@ class Draw:
 
     # -- internals -----------------------------------------------------------
 
+    def _maybe_warm_next_capacity(self, window, args,
+                                  block: bool = False) -> None:
+        """Opt-in (Renderer.precompile_capacity_bump): compile the NEXT
+        capacity-ladder step's frame program in a background thread, so
+        a later big/stream/clip overflow re-renders against an
+        already-compiled program — the x4 bump costs a cache hit
+        instead of a full XLA recompile stall (minutes through this
+        container's remote compile service). Compilation is host-side;
+        rendering continues meanwhile. ``block`` waits (tests)."""
+        rend = self.renderer
+        if not getattr(rend, "precompile_capacity_bump", False):
+            return
+        nxt = self._big_scale * 4
+        key = (rend.scene_version, nxt)
+        if self._warm_thread is not None and self._warm_thread.is_alive():
+            if not block:
+                return
+            self._warm_thread.join()
+        if nxt > 256 or key in self._warmed_scales:
+            return
+        self._warmed_scales.add(key)
+
+        def work():
+            try:
+                plan = self._get_plan(window, big_scale=nxt)
+                plan.fn.lower(args).compile()
+            except Exception:
+                self._warmed_scales.discard(key)
+
+        import threading
+        t = threading.Thread(target=work, daemon=True,
+                             name="capacity-warm")
+        self._warm_thread = t
+        t.start()
+        if block:
+            t.join()
+
     def _poll_overflow_queue(self) -> bool:
         """Consume whatever queued overflow flags have arrived on the
         host (oldest first); block only when the queue backs up beyond
@@ -638,22 +692,26 @@ class Draw:
             return b
         return "pallas" if jax.default_backend() != "cpu" else "oracle"
 
-    def _get_plan(self, window) -> _FramePlan:
+    def _get_plan(self, window, big_scale=None) -> _FramePlan:
         rend = self.renderer
         backend = self._resolve_backend()
+        warm = big_scale is not None
+        big_scale = self._big_scale if big_scale is None else big_scale
         key = (rend.scene_version, window.id,
                tuple(s.id for s, _ in self._items),
                tuple(c is not None for _, c in self._items),
-               window.width, window.height, backend, self._big_scale,
+               window.width, window.height, backend, big_scale,
                getattr(rend, "debug_winner", False))
         plan = self._program_cache.get(key)
         if plan is not None:
             return plan
 
-        # a new plan re-arms the synchronous overflow-check window and
-        # drops stale queued flags (they described the old capacities)
-        self._frames_since_rebuild = 0
-        self._pending_overflow = []
+        if not warm:
+            # a new ACTIVE plan re-arms the synchronous overflow-check
+            # window and drops stale queued flags (they described the
+            # old capacities); warming a future capacity step must not
+            self._frames_since_rebuild = 0
+            self._pending_overflow = []
         parents, levels = _build_levels(rend.scene_nodes)
         surfaces = []
         for s, _ in self._items:
@@ -669,7 +727,7 @@ class Draw:
         raster_cfg = getattr(rend, "raster_cfg", None) or \
             raster_pallas.RasterConfig()
         raster_cfg = dataclasses.replace(
-            raster_cfg, big_scale=self._big_scale,
+            raster_cfg, big_scale=big_scale,
             interpret=(raster_cfg.interpret
                        or jax.default_backend() == "cpu"))
         mesh = getattr(rend, "mesh", None)

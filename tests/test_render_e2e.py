@@ -703,3 +703,47 @@ def test_heterogeneous_fragment_programs_merge_into_one_pass():
     # sequential passes' are per-batch-local, so compare coverage)
     np.testing.assert_array_equal(
         win_merged >= 0, (wins_seq[0] >= 0) | (wins_seq[1] >= 0))
+
+
+def test_precompile_capacity_bump_warms_next_plan():
+    """Renderer.precompile_capacity_bump: after a frame, the NEXT
+    capacity-ladder step's frame program is compiled in the background,
+    so an overflow bump re-renders against a warm cache (no recompile
+    stall). The warmed plan must live in the program cache at
+    big_scale*4 and render correctly once the bump happens."""
+    from myrenderer_tpu.ops.raster_pallas import RasterConfig
+
+    rend, window = make_renderer(64, 64, backend="pallas")
+    rend.precompile_capacity_bump = True
+    rend.raster_cfg = RasterConfig(tile_h=8, tile_w=128,
+                                   max_tiles_per_tri=1, big_capacity=8,
+                                   chunk=8, interpret=True,
+                                   auto_span=False)
+    pipe, layout = flat_pipeline(rend)
+    pts = []
+    for i in range(12):   # 12 tall triangles: span > 1 tile -> big list
+        y = 0.03 + 0.06 * i
+        pts += [(0.05, y), (0.95, y), (0.05, y + 0.25)]
+    node = triangle_node(rend, pipe, layout, pts)
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+
+    draw = Draw.create(rend)
+    draw.begin()
+    draw.clear((0, 0, 1, 1))
+    draw.draw_surface(surf)
+    fb = draw.end()
+    rend.update()
+    # overflow detected synchronously right after build: capacity bumped
+    assert draw._big_scale > 1
+    # wait for the background warm of the NEXT step and check the cache
+    args = draw._gather_args(
+        next(iter(draw._program_cache.values())), window)
+    draw._maybe_warm_next_capacity(window, args, block=True)
+    scales = {k[7] for k in draw._program_cache}
+    assert draw._big_scale * 4 in scales, \
+        f"next ladder step not warmed: cached scales {scales}"
+    # the rendered frame (post-bump) shows all 12 triangles
+    fb = np.asarray(fb)
+    red_rows = ((fb[..., 0] > 0.9) & (fb[..., 2] < 0.1)).any(axis=1)
+    assert red_rows.sum() >= 10

@@ -104,7 +104,10 @@ def main():
     if args.window:
         cfg = dataclasses.replace(cfg, stream_window=args.window)
     if args.k:
-        cfg = dataclasses.replace(cfg, max_tiles_per_tri=args.k)
+        # pin exactly: auto_span would clamp the sweep value back to
+        # its own budget
+        cfg = dataclasses.replace(cfg, max_tiles_per_tri=args.k,
+                                  auto_span=False)
     if args.tile:
         th, tw = (int(v) for v in args.tile.split("x"))
         cfg = dataclasses.replace(cfg, tile_h=th, tile_w=tw)
@@ -184,15 +187,16 @@ def main():
             sx = tx1 - tx0 + 1
             span = sx * (ty1 - ty0 + 1)
             small = tc.valid & (span <= K)
-            e = jnp.arange(K, dtype=jnp.int32)
-            ey = e[None, :] // jnp.maximum(sx, 1)[:, None]
-            ex = e[None, :] % jnp.maximum(sx, 1)[:, None]
-            tile = (ty0[:, None] + ey) * ntx + (tx0[:, None] + ex)
-            live = small[:, None] & (e[None, :] < span[:, None])
+            eK = jnp.arange(K, dtype=jnp.int32)[:, None]
+            sxr = jnp.maximum(sx, 1)[None, :]
+            ey = eK // sxr
+            ex = eK - ey * sxr
+            tile = (ty0[None, :] + ey) * ntx + (tx0[None, :] + ex)
+            live = small[None, :] & (eK < span[None, :])
             tile = jnp.where(live, tile, NT).reshape(-1)
             tri = jnp.broadcast_to(
-                jnp.arange(T, dtype=jnp.int32)[:, None],
-                (T, K)).reshape(-1)
+                jnp.arange(T, dtype=jnp.int32)[None, :],
+                (K, T)).reshape(-1)
             keys = []
             for g in range(F):
                 base = g * rpg * ntx
