@@ -129,8 +129,8 @@ def main(argv=None):
                     help="write every frame as frame_%%04d.png")
     ap.add_argument("--raster", default=None,
                     help="RasterConfig override 'th,tw,chunk,window"
-                         "[,tiles_x[,span_budget]]' (kernel tuning "
-                         "sweeps; a 6th value pins max_tiles_per_tri)")
+                         "[,tiles_x[,span_budget[,bands]]]' (kernel "
+                         "tuning sweeps; span_budget 0 keeps auto)")
     args = ap.parse_args(argv)
 
     raster = None
@@ -146,7 +146,9 @@ def main(argv=None):
                               tiles_x=vals[4] if len(vals) > 4 else 1,
                               **({"max_tiles_per_tri": vals[5],
                                   "auto_span": False}
-                                 if len(vals) > 5 else {}))
+                                 if len(vals) > 5 and vals[5] else {}),
+                              **({"bands": vals[6]}
+                                 if len(vals) > 6 else {}))
     w, h = (int(v) for v in args.size.split("x"))
     app = DemoApp(width=w, height=h, heightmap=args.heightmap,
                   backend=args.backend, raster=raster)

@@ -136,8 +136,8 @@ def main(argv=None):
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--raster", default=None,
                     help="RasterConfig override 'th,tw,chunk,window"
-                         "[,tiles_x[,span_budget]]' (kernel tuning "
-                         "sweeps; a 6th value pins max_tiles_per_tri)")
+                         "[,tiles_x[,span_budget[,bands]]]' (kernel "
+                         "tuning sweeps; span_budget 0 keeps auto)")
     args = ap.parse_args(argv)
 
     raster = None
@@ -150,7 +150,9 @@ def main(argv=None):
                               tiles_x=vals[4] if len(vals) > 4 else 1,
                               **({"max_tiles_per_tri": vals[5],
                                   "auto_span": False}
-                                 if len(vals) > 5 else {}))
+                                 if len(vals) > 5 and vals[5] else {}),
+                              **({"bands": vals[6]}
+                                 if len(vals) > 6 else {}))
 
     import jax
     w, h = (int(v) for v in args.size.split("x"))

@@ -90,6 +90,12 @@ class RasterConfig:
                                   # fixed costs measured NEUTRAL to
                                   # harmful on this hardware — kept as
                                   # a sweep knob, default off)
+    bands: int = 1                # consecutive y-tiles (fine bins) per
+                                  # kernel program, iterated by an
+                                  # in-kernel fori loop (NOT unrolled,
+                                  # unlike tiles_x): bins/evaluates at
+                                  # tile_h granularity while per-
+                                  # program fixed costs amortize x bands
     stream_factor: float = 2.0    # stream capacity = factor * T rows
                                   # (live incidences are ~1.3-1.7 per
                                   # triangle; dead K*T slack sorts to the
@@ -420,30 +426,33 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                    depth_in_ref, fused_ref, winner_ref,
                    stream_scratch, dma_sems,
                    *, tile_h: int, tile_w: int,
-                   chunk: int, window: int, tiles_x: int, ntx: int):
-    """One program = ``tiles_x`` consecutive (tile_h, tile_w)
-    framebuffer tiles along x (multi-tile programs amortize the ~5 us
-    per-program fixed cost — startup, loop setup, first-window DMA
-    latency — across tiles; BASELINE.md lever 2).
+                   chunk: int, window: int, tiles_x: int, ntx: int,
+                   bands: int = 1):
+    """One program = ``bands`` consecutive (tile_h, tile_w) fine tiles
+    along y (an in-kernel fori loop — per-program fixed costs and
+    in/out block DMAs amortize across bands WITHOUT unrolling the body,
+    which is what made multi-tile ``tiles_x`` programs spill) times
+    ``tiles_x`` consecutive tiles along x (unrolled; kept as a sweep
+    knob, default 1).
 
-    Per tile: stream its CSR segment of the pre-gathered coefficient-row
-    stream in ``window``-row DMA windows (window boundaries are fixed
-    multiples of ``window`` in the global stream, so transfers are
-    always aligned), double-buffered: window b+1 transfers while window
-    b evaluates, and each tile's epilogue prefetches the NEXT tile's
-    first window (within the program or across the program boundary)
-    into the buffer it will look in. Rows are evaluated in ``chunk``-row
-    sub-blocks as (G, THW) outer-product FMAs with a min-reduce depth
-    resolve (lowest-id tie-break == submission-order 'less' semantics;
-    bins are ascending by construction)."""
+    Per fine tile: stream its CSR segment of the pre-gathered
+    coefficient-row stream in ``window``-row DMA windows (window
+    boundaries are fixed multiples of ``window`` in the global stream,
+    so transfers are always aligned), double-buffered: window b+1
+    transfers while window b evaluates, and each tile's epilogue
+    prefetches the first window of the next tile IN PROCESSING ORDER
+    (next band, next x-tile, or next program) into the buffer it will
+    look in. Rows are evaluated in ``chunk``-row sub-blocks as
+    (G, THW) outer-product FMAs with a min-reduce depth resolve
+    (lowest-id tie-break == submission-order 'less' semantics)."""
     THW = tile_h * tile_w
     G = chunk
     W = window
     R = tiles_x
-    ty = pl.program_id(0)
+    B = bands
+    ty_c = pl.program_id(0)
     txg = pl.program_id(1)
-    nty = pl.num_programs(0)
-    NT = nty * ntx
+    nty_c = pl.num_programs(0)
 
     def window_dma(blk, slot):
         return pltpu.make_async_copy(
@@ -452,15 +461,16 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
 
     r_iota = lax.broadcasted_iota(jnp.int32, (G, 1), 0)
     flat = lax.broadcasted_iota(jnp.int32, (1, THW), 1)
-    # y0: global row of the band's first row (multi-chip row shards);
-    # coverage/depth math always runs in GLOBAL pixel coordinates
-    py = ((flat // tile_w) + ty * tile_h + y0_ref[0]).astype(
-        jnp.float32) + 0.5
 
-    for r in range(R):
-        tx = txg * R + r
-        t = ty * ntx + tx
-        px = ((flat % tile_w) + tx * tile_w).astype(jnp.float32) + 0.5
+    def tile_body(r, tx, px, b):
+        """Rasterize fine tile (ty_c*B + b, tx); b is a python int when
+        B == 1 (static slicing) and a fori counter otherwise."""
+        fy = ty_c * B + b
+        t = fy * ntx + tx
+        # y0: global row of the frame band's first row (multi-chip row
+        # shards); coverage/depth math runs in GLOBAL pixel coordinates
+        py = ((flat // tile_w) + fy * tile_h + y0_ref[0]).astype(
+            jnp.float32) + 0.5
 
         start = starts_ref[t]
         n = counts_ref[t]
@@ -524,13 +534,12 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
         blk0 = lax.div(start, W)
         nblk = jnp.where(n > 0, lax.div(end - 1, W) + 1 - blk0, 0)
 
-        if r == 0:
-            # window 0 of the FIRST nonempty tile has no predecessor to
-            # prefetch it; every later tile's window 0 is prefetched by
-            # the previous tile's epilogue (below)
-            @pl.when((t == 0) & (nblk > 0))
-            def _():
-                window_dma(blk0, blk0 % 2).start()
+        # window 0 of the FIRST nonempty tile has no predecessor to
+        # prefetch it; every later tile's window 0 is prefetched by
+        # the previous tile's epilogue (below)
+        @pl.when((t == 0) & (nblk > 0))
+        def _():
+            window_dma(blk0, lax.rem(blk0, 2)).start()
 
         def block_body(b, carry, blk0=blk0, nblk=nblk, start=start,
                        end=end, eval_block=eval_block):
@@ -558,7 +567,9 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
 
             return lax.fori_loop(c0, c1, chunk_body, carry)
 
-        carry = (depth_in_ref[:, r * tile_w:(r + 1) * tile_w]
+        boff = b * tile_h      # static when B == 1 (b is a python int)
+        carry = (depth_in_ref[pl.ds(boff, tile_h),
+                              r * tile_w:(r + 1) * tile_w]
                  .reshape(1, THW),
                  jnp.full((1, THW), -1, jnp.int32),
                  tuple(jnp.zeros((1, THW), jnp.float32)
@@ -566,15 +577,22 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                  jnp.ones((1, THW), jnp.float32))
         carry = lax.fori_loop(0, nblk, block_body, carry)
 
-        # epilogue: prefetch the NEXT tile's first window while this
-        # tile's big loop and output writes run (within the program and
-        # across the program boundary — tiles are visited in global
-        # row-major order either way). Scratch and semaphores persist;
-        # the buffer parity matches what the next tile will wait on.
-        @pl.when(t + 1 < NT)
+        # epilogue: prefetch the first window of the next tile IN
+        # PROCESSING ORDER (next band of this program, next x-tile, or
+        # band 0 of the next program — the grid iterates x fastest)
+        # while this tile's big loop and output writes run. Scratch and
+        # semaphores persist; buffer parity matches the next wait.
+        fy0 = ty_c * B
+        t_next = jnp.where(b + 1 < B, t + ntx,
+                           jnp.where(tx + 1 < ntx,
+                                     fy0 * ntx + tx + 1,
+                                     (fy0 + B) * ntx))
+        last = ((ty_c == nty_c - 1) & (tx == ntx - 1) & (b == B - 1))
+
+        @pl.when(jnp.logical_not(last))
         def _():
-            nstart = starts_ref[t + 1]
-            nn = counts_ref[t + 1]
+            nstart = starts_ref[t_next]
+            nn = counts_ref[t_next]
             nblk0 = lax.div(nstart, W)
             # always re-transfer, even when the next tile's first
             # window is the one just used: the next tile WILL wait on
@@ -583,7 +601,7 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             def _():
                 window_dma(nblk0, lax.rem(nblk0, 2)).start()
 
-        # big triangles after binned ones (ties-only order deviation)
+        # big triangles after binned ones (order-free: id tie-break)
         def big_chunk(ci, carry, nbig=nbig, eval_block=eval_block):
             sub = big_ref[0, pl.ds(ci * G, G), :]
             slot = r_iota + ci * G
@@ -593,12 +611,26 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             0, lax.div(nbig + G - 1, G), big_chunk, carry)
 
         # fused f32 out lanes: [0]=depth, [1]=den, [2:6]=varying nums
-        fused_ref[:, :, r * tile_w:(r + 1) * tile_w] = jnp.concatenate(
+        fused_ref[:, pl.ds(boff, tile_h),
+                  r * tile_w:(r + 1) * tile_w] = jnp.concatenate(
             [depth.reshape(1, tile_h, tile_w),
              den.reshape(1, tile_h, tile_w)]
             + [nc.reshape(1, tile_h, tile_w) for nc in nums], axis=0)
-        winner_ref[:, r * tile_w:(r + 1) * tile_w] = winner.reshape(
+        winner_ref[pl.ds(boff, tile_h),
+                   r * tile_w:(r + 1) * tile_w] = winner.reshape(
             tile_h, tile_w)
+
+    for r in range(R):
+        tx = txg * R + r
+        px = ((flat % tile_w) + tx * tile_w).astype(jnp.float32) + 0.5
+        if B == 1:
+            tile_body(r, tx, px, 0)
+        else:
+            lax.fori_loop(
+                0, B,
+                lambda b, _, r=r, tx=tx, px=px: (tile_body(r, tx, px, b)
+                                                 or 0),
+                0)
 
 
 def rasterize(tc: rc.TriCoeffs, height: int, width: int,
@@ -649,12 +681,12 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
     id lane, so concatenated multi-batch frames pack each batch with its
     global base offset (``rc.pack_coeffs_full(tc, base=...)``)."""
     cfg = cfg or DEFAULT_CONFIG
+    vp_height = height if vp_height is None else vp_height
     if depth is None:
         depth = jnp.full((height, width), 1.0, jnp.float32)
 
     nty = _cdiv(height, cfg.tile_h)
     ntx = _cdiv(width, cfg.tile_w)
-    ph, pw = nty * cfg.tile_h, ntx * cfg.tile_w
     B, chunk = _big_geometry(cfg)
     if cfg.chunk % 8:
         raise ValueError(f"chunk ({cfg.chunk}) must be a multiple of 8 "
@@ -664,9 +696,15 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
         raise ValueError(f"stream_window ({W}) must be a multiple of "
                          f"chunk ({chunk}) and of 8 (DMA sublane "
                          "alignment of the stream)")
+    # bands: fine tiles per program along y (fori-looped in-kernel).
+    # The fine-tile grid pads up to a whole number of programs; binning
+    # runs on the padded grid so CSR indices and the kernel agree.
+    BD = max(1, cfg.bands)
+    nty = _cdiv(nty, BD) * BD
+    ph, pw = nty * cfg.tile_h, ntx * cfg.tile_w
 
     (stream, starts, counts, big_rows, big_count, big_touch,
-     ovf) = bin_packed(packed, valid, bbox, height, width, cfg, y0=y0,
+     ovf) = bin_packed(packed, valid, bbox, ph, width, cfg, y0=y0,
                        vp_height=vp_height)
 
     y0_arr = jnp.asarray(y0, jnp.int32).reshape(1)
@@ -679,13 +717,14 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
 
     kernel = functools.partial(_raster_kernel, tile_h=cfg.tile_h,
                                tile_w=cfg.tile_w,
-                               chunk=chunk, window=W, tiles_x=R, ntx=ntx)
-    tile_spec = pl.BlockSpec((cfg.tile_h, R * cfg.tile_w),
+                               chunk=chunk, window=W, tiles_x=R,
+                               ntx=ntx, bands=BD)
+    tile_spec = pl.BlockSpec((BD * cfg.tile_h, R * cfg.tile_w),
                              lambda ty, tx: (ty, tx),
                              memory_space=pltpu.VMEM)
     fused, winner = pl.pallas_call(
         kernel,
-        grid=(nty, ntx // R),
+        grid=(nty // BD, ntx // R),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),           # y0
             pl.BlockSpec(memory_space=pltpu.SMEM),           # starts
@@ -697,7 +736,7 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
                          memory_space=pltpu.VMEM),           # big rows
             tile_spec,                                       # depth in
         ],
-        out_specs=[pl.BlockSpec((6, cfg.tile_h, R * cfg.tile_w),
+        out_specs=[pl.BlockSpec((6, BD * cfg.tile_h, R * cfg.tile_w),
                                 lambda ty, tx: (0, ty, tx),
                                 memory_space=pltpu.VMEM),
                    tile_spec],

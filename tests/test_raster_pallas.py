@@ -422,3 +422,24 @@ def test_span_budget_scales_with_resolution():
         rp.bin_triangles(tc, clip, H, W, cfg_auto)[4])[0]) == 0
     assert int(np.asarray(
         rp.bin_triangles(tc, clip, H, W, cfg_pin)[4])[0]) == 1
+
+
+def test_banded_kernel_matches_single_band():
+    """bands>1 (several fine y-tiles per kernel program, fori-looped)
+    must render identically to bands=1, including when the fine-tile
+    count does not divide the band count (grid padding)."""
+    import dataclasses
+
+    for H, W in ((48, 160), (64, 128)):   # 6 and 8 fine rows at tile_h=8
+        clip, vary = random_triangles(80, seed=41)
+        valid = jnp.ones(80, bool)
+        tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+        d1, w1, n1, e1, o1 = rp.rasterize(tc, H, W, tri_clip=clip,
+                                          cfg=CFG)
+        for bd in (2, 4):
+            cfg = dataclasses.replace(CFG, bands=bd)
+            d, w, n, e, o = rp.rasterize(tc, H, W, tri_clip=clip,
+                                         cfg=cfg)
+            np.testing.assert_array_equal(np.asarray(w1), np.asarray(w))
+            np.testing.assert_array_equal(np.asarray(d1), np.asarray(d))
+            np.testing.assert_array_equal(np.asarray(n1), np.asarray(n))
