@@ -32,6 +32,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import raster_common as rc
 from ..renderer import (Binding, BindingLayout, Instance, Pipeline,
                         SceneNode, VertexBuffer)
 from ..renderer.pipeline import (BUILTIN_TRANSFORM, MANAGED_STORAGE,
@@ -93,34 +94,41 @@ def _make_vertex_batch_fn(size: int):
     ``quad + size + 1`` lookups, ``Terrain.zig:38-45``) is reproduced by
     extending the flat array with copies of its last element.
 
-    Emits the interleaved [V, 4] stream (matmul + reshape). A fully
-    PLANAR formulation (per-slot FMA chains + [3, 4, T] interleave
-    stacks, the planar end-to-end vertex interface) was built and
-    measured NET-NEGATIVE here: the 24 slot-interleave stacks lower to
-    T(2,128)-tiled slice copies (~1.2 ms each at the 1M-tri stretch,
-    ~+20 ms/frame total) — more than the [V,4]x[4,4] matmul and
-    [T,3,4] relayouts they replace. Keep interleaved unless the planar
-    producer is genuinely relayout-free.
+    Emits :class:`raster_common.PlanarTris` — flat per-slot FMA chains
+    assembled by ONE contiguous concatenate + free reshape, zero
+    interleave relayouts. The trick making this possible: triangles go
+    out in [all first-half-quad tris ++ all second-half-quad tris]
+    array order (per instance) instead of submission order, so each
+    planar (corner, channel) plane is a 2-piece concat of contiguous
+    [s2] slot vectors rather than a 2-way interleave (a straight
+    submission-order planar formulation was built first and measured
+    NET-NEGATIVE: its 24 interleave stacks lower to T(2,128)-tiled
+    slice copies, ~1.2 ms each at the 1M-tri stretch). Depth
+    resolution is order-free (lowest-ID depth-tie break), so
+    ``PlanarTris.ids`` carries the submission ranks (2q, 2q+1 per quad
+    q — the ``Terrain.zig:126`` triangle order) and winner indices /
+    tie semantics are exactly those of submission order.
     """
     s2 = size * size
     fsize = jnp.float32(size)
 
     def vertex_batch_fn(ctx):
-        iids = ctx.iids
         n_inst = ctx.worlds.shape[0]
-        V = s2 * 6
-
-        # per-quad corner tables (static, [6])
-        corner_x = jnp.asarray(_QUAD_VALS[:, 0])[None, :]    # [1, 6]
-        corner_z = jnp.asarray(_QUAD_VALS[:, 1])[None, :]
 
         quad = jnp.arange(s2, dtype=jnp.int32)
-        qx = (quad // size).astype(jnp.float32)[:, None]     # [s2, 1]
-        qz = (quad % size).astype(jnp.float32)[:, None]
-        x = 0.2 * (corner_x + qx) - 0.1 * fsize              # [s2, 6]
-        z = 0.2 * (corner_z + qz) - 0.1 * fsize
+        qx = (quad // size).astype(jnp.float32)              # [s2]
+        qz = (quad % size).astype(jnp.float32)
+        # per-slot positions, flat [s2] (corner offsets are the static
+        # scalars of _QUAD_VALS row s)
+        xs = [0.2 * (float(_QUAD_VALS[s, 0]) + qx) - 0.1 * fsize
+              for s in range(6)]
+        zs = [0.2 * (float(_QUAD_VALS[s, 1]) + qz) - 0.1 * fsize
+              for s in range(6)]
+        ones = jnp.ones(s2, jnp.float32)
 
-        clips, varys = [], []
+        per_slot_clip = []   # [instance][slot][channel] -> [s2]
+        per_slot_y = []      # [instance][slot] -> [s2]
+        ids_parts = []
         for i in range(n_inst):
             hm = ctx.binding(1)[0 if n_inst == 1 else i]
             uniform = ctx.binding(0)[0 if n_inst == 1 else i]
@@ -134,24 +142,42 @@ def _make_vertex_batch_fn(size: int):
             c_qs1 = hm_ext[size + 1:s2 + size + 1]  # offset +size+1
             c_q1 = hm_ext[1:s2 + 1]     # offset +1
             # per _LOOKUP tables: [q+size, q, q+size+1, q+size+1, q, q+1]
-            h = jnp.stack([c_qs, c_q, c_qs1, c_qs1, c_q, c_q1],
-                          axis=1)                             # [s2, 6]
-            y = 5.0 * h
-            ones = jnp.ones_like(y)
-            pos = jnp.stack([jnp.broadcast_to(x, (s2, 6)),
-                             y,
-                             jnp.broadcast_to(z, (s2, 6)),
-                             ones], axis=-1).reshape(V, 4)    # [V, 4]
+            hs = [c_qs, c_q, c_qs1, c_qs1, c_q, c_q1]
+            ys = [5.0 * h for h in hs]
             data_xform = uniform[:16].reshape(4, 4)
             m = world @ data_xform                            # [4, 4]
-            clip = pos @ m.T                                  # [V, 4]
-            yy = pos[:, 1]
-            vary = jnp.stack([yy, yy, yy, jnp.ones_like(yy)], axis=-1)
-            clips.append(clip)
-            varys.append(vary)
-        clip = jnp.concatenate(clips) if n_inst > 1 else clips[0]
-        vary = jnp.concatenate(varys) if n_inst > 1 else varys[0]
-        return clip, vary
+            # clip channel ch of slot s = the (pos @ m.T) row as flat
+            # FMAs over [s2] vectors (w = 1 folds into + m[ch, 3])
+            per_slot_clip.append(
+                [[m[ch, 0] * xs[s] + m[ch, 1] * ys[s]
+                  + m[ch, 2] * zs[s] + m[ch, 3] for ch in range(4)]
+                 for s in range(6)])
+            per_slot_y.append(ys)
+            ids_parts.append(2 * quad + 2 * s2 * i)          # tri0 ranks
+            ids_parts.append(2 * quad + 1 + 2 * s2 * i)      # tri1 ranks
+
+        # assemble [3, 4, T] planes by ONE contiguous concat + free
+        # reshape: piece order (corner k, channel ch) row-major, each
+        # plane = per-instance [tri0 block, tri1 block] where tri0's
+        # corner k is slot k and tri1's is slot k + 3.
+        T = 2 * s2 * n_inst
+        clip_parts, vary_parts = [], []
+        for k in range(3):
+            for ch in range(4):
+                for i in range(n_inst):
+                    clip_parts.append(per_slot_clip[i][k][ch])
+                    clip_parts.append(per_slot_clip[i][k + 3][ch])
+                    if ch < 3:
+                        vary_parts.append(per_slot_y[i][k])
+                        vary_parts.append(per_slot_y[i][k + 3])
+                    else:
+                        vary_parts.append(ones)
+                        vary_parts.append(ones)
+        clip = jnp.concatenate(clip_parts).reshape(3, 4, T)
+        vary = jnp.concatenate(vary_parts).reshape(3, 4, T)
+        ids = (jnp.concatenate(ids_parts) if len(ids_parts) > 1
+               else ids_parts[0])
+        return rc.PlanarTris(clip, vary, ids)
 
     return vertex_batch_fn
 

@@ -77,10 +77,24 @@ class PlanarTris(NamedTuple):
     triangle_setup consumes it directly — skipping the [V, 4] ->
     [T, 3, 4] -> [3, 4, T] relayouts that pad horribly in TPU tiled
     layouts (each was ~1 ms/frame at the 1M-triangle stretch config).
+
+    ``ids`` (optional i32[T]): the triangles' SUBMISSION indices when
+    the producer emits them in a permuted array order. Depth resolution
+    is order-free (min depth, lowest-ID tie-break), so a producer whose
+    natural layout is not submission order (e.g. the terrain emitting
+    [all first-half-quad tris ++ all second-half-quad tris] so its
+    planar channels are pure concats instead of 2-way interleave
+    relayouts) just says which submission rank each array slot holds;
+    the pack stage puts ``ids`` in the coefficient id lane, keeping
+    depth-tie semantics and winner indices exactly as if the batch had
+    been emitted in submission order. None = array order IS submission
+    order.
     """
 
     clip: jax.Array     # f32[3, 4, T]
     vary: jax.Array     # f32[3, C, T]
+    ids: jax.Array | None = None   # i32[T] submission ranks (permuted
+                                   # producers), else None
 
     @property
     def count(self) -> int:
@@ -99,6 +113,11 @@ class PlanarTris(NamedTuple):
                 jnp.transpose(self.vary, (2, 0, 1)))
 
     def concat(self, *others: "PlanarTris") -> "PlanarTris":
+        """Concatenate along the triangle axis. ``ids`` does not survive
+        (appendee blocks have no submission ranks of their own); callers
+        that need permuted ids consume them BEFORE concatenating — the
+        only in-repo user is the oracle path, which resolves in array
+        order and ignores ids."""
         return PlanarTris(
             jnp.concatenate([self.clip] + [o.clip for o in others], 2),
             jnp.concatenate([self.vary] + [o.vary for o in others], 2))
@@ -398,19 +417,25 @@ def pack_coeffs(tc: TriCoeffs) -> jax.Array:
 FULL_LANES = 32
 
 
-def pack_coeffs_full(tc: TriCoeffs, base: int = 0) -> jax.Array:
+def pack_coeffs_full(tc: TriCoeffs, base: int = 0,
+                     ids: jax.Array | None = None) -> jax.Array:
     """f32[T, FULL_LANES]: visibility lanes + triangle id + varying
     interpolation planes, for single-pass rasterize+shade kernels.
     Varyings must be 4 channels (the FragPass color contract,
     ``Pipeline.zig:12-32``). ``base`` offsets the id lane — batches
     packed separately and concatenated into one raster pass carry their
     GLOBAL submission rank there (it is the kernel's depth-tie rank and
-    winner index; exact up to 2^24 in f32)."""
+    winner index; exact up to 2^24 in f32). ``ids`` (i32[T], optional)
+    overrides the per-batch rank with an explicit permutation — for
+    producers that emit triangles out of submission order
+    (:class:`PlanarTris` ``ids``); must be a permutation of [0, T) so
+    appendee blocks at ``base + T`` never collide."""
     T = tc.en_abc.shape[0]
     if tc.col_abc.shape[-1] != 4:
         raise ValueError("full pack requires exactly 4 varying channels")
-    ids = (jnp.arange(T, dtype=jnp.float32)[:, None]
-           + jnp.float32(base))
+    rank = (jnp.arange(T, dtype=jnp.float32) if ids is None
+            else ids.astype(jnp.float32))
+    ids = rank[:, None] + jnp.float32(base)
     col = tc.col_abc            # [T, 3, 4]
     col_flat = jnp.concatenate([col[:, :, ch] for ch in range(4)],
                                axis=1)                  # [T, 12]

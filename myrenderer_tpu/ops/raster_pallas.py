@@ -332,19 +332,31 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
             ltile = jnp.where(in_g, tile_flat - base, ntg)
             keys = jnp.sort(ltile.astype(dt) * dt(T + 1)
                             + tri_flat.astype(dt), stable=False)
-            # ONE searchsorted for starts AND ends: ends[t] ==
-            # starts[t+1] (tile segments are adjacent), and the query
-            # row t = ntg lands on the dead-key base = live count.
-            # method='sort' merges queries+keys in one extra cheap
-            # sort (the default binary-search scan lowers to a while
-            # loop costing ~1.1 ms/frame on the demo's 2k-tile grid);
-            # at megatriangle candidate counts a variadic merge sort
-            # would dominate, so large arrays keep the scan.
-            method = "sort" if K * T <= 2**21 else "scan"
-            lrange = jnp.arange(ntg + 1, dtype=jnp.int32)
-            bounds = jnp.searchsorted(
-                keys, lrange.astype(dt) * dt(T + 1),
-                method=method).astype(jnp.int32)
+            # CSR bounds: ends[t] == starts[t+1] (tile segments are
+            # adjacent), so ONE bounds vector serves both, and
+            # bounds[ntg] = the live count. Two routes:
+            #  - compare-histogram: counts[t] = #candidates with
+            #    ltile == t as a broadcast compare-reduce over the
+            #    UNSORTED candidates + exclusive cumsum. One fused
+            #    vector pass, independent of the sort, much cheaper
+            #    than any searchsorted lowering at demo scale
+            #    (searchsorted 'scan' lowers to a while loop, ~1.1
+            #    ms/frame on a 2k-tile grid; method='sort' merges via
+            #    a variadic sort, measured just as bad, ~1.2 ms).
+            #  - searchsorted 'scan' when bins x candidates explodes
+            #    (megatriangle scenes: the while loop's ~2k iterations
+            #    amortize over millions of keys just fine).
+            if K * T * ntg <= 2**29:
+                bins = jnp.arange(ntg, dtype=jnp.int32)
+                hist = (ltile[None, :] == bins[:, None]).sum(
+                    axis=1, dtype=jnp.int32)
+                bounds = jnp.concatenate(
+                    [jnp.zeros(1, jnp.int32), jnp.cumsum(hist)])
+            else:
+                lrange = jnp.arange(ntg + 1, dtype=jnp.int32)
+                bounds = jnp.searchsorted(
+                    keys, lrange.astype(dt) * dt(T + 1),
+                    method="scan").astype(jnp.int32)
             lstarts = bounds[:-1]
             lends = bounds[1:]
             live_l.append(bounds[-1])

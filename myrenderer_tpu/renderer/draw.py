@@ -262,11 +262,17 @@ def _batch_vertex_products(plan, args, world):
             tri_iid = jnp.asarray(b.iids[::3])
             if isinstance(clip, rc.PlanarTris):
                 if shard_v is not None:
+                    from jax.sharding import (NamedSharding,
+                                              PartitionSpec as P)
                     clip = rc.PlanarTris(
                         jax.lax.with_sharding_constraint(
                             clip.clip, _shard_last(plan.mesh)),
                         jax.lax.with_sharding_constraint(
-                            clip.vary, _shard_last(plan.mesh)))
+                            clip.vary, _shard_last(plan.mesh)),
+                        None if clip.ids is None else
+                        jax.lax.with_sharding_constraint(
+                            clip.ids,
+                            NamedSharding(plan.mesh, P("rows"))))
                 # planar end-to-end path: no [V,4] -> [T,3,4] relayout
                 out.append((s_i, b, clip, None, inst_vis[tri_iid]))
                 continue
@@ -325,8 +331,10 @@ def _setup_batch(plan, tri_clip, tri_vary, valid, cull_mode, overflow,
     tc_app = rc.triangle_setup(app_clip, app_vary, app_valid,
                                plan.width, plan.height, cull_mode,
                                z_bias=bias)
+    perm_ids = (tri_clip.ids if isinstance(tri_clip, rc.PlanarTris)
+                else None)
     packed = jnp.concatenate([
-        rc.pack_coeffs_full(tc, base=base_index),
+        rc.pack_coeffs_full(tc, base=base_index, ids=perm_ids),
         rc.pack_coeffs_full(tc_app, base=base_index + T)])
     bbox = tuple(jnp.concatenate(c) for c in zip(
         raster_pallas.viewport_bbox(tri_clip, plan.width, plan.height),

@@ -181,10 +181,15 @@ def test_terrain_batch_vertex_path_matches_vmap():
         vertex_batch_fn=_make_vertex_batch_fn(size))
     if isinstance(clip_b, PlanarTris):
         # a planar batch fn is also a valid formulation: compare in
-        # interleaved layout
+        # interleaved layout, restoring submission order via the ids
+        # permutation when the producer emits a permuted array order
         tri_clip, tri_vary = clip_b.interleaved()     # [T, 3, 4]
-        clip_b = np.asarray(tri_clip).reshape(V, 4)
-        vary_b = np.asarray(tri_vary).reshape(V, 4)
+        tri_clip, tri_vary = np.asarray(tri_clip), np.asarray(tri_vary)
+        if clip_b.ids is not None:
+            order = np.argsort(np.asarray(clip_b.ids))
+            tri_clip, tri_vary = tri_clip[order], tri_vary[order]
+        clip_b = tri_clip.reshape(V, 4)
+        vary_b = tri_vary.reshape(V, 4)
     np.testing.assert_allclose(np.asarray(clip_v), np.asarray(clip_b),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(vary_v), np.asarray(vary_b),
