@@ -63,6 +63,14 @@ class DemoApp:
                                  mesh=self.mesh)
         if self.raster is not None:
             self.renderer.raster_cfg = self.raster
+        else:
+            # measured-best demo-scale config (1080p sweep, round 3):
+            # 8-row tiles cut the kernel's per-entry pixel waste
+            # (7.82 ms vs 8.39 at the 32-row default); chunk/window
+            # keep their defaults (chunk 8 measured 14.2 ms — per-chunk
+            # fixed costs dominate; window 64 measured 9.6 ms)
+            from ..ops.raster_pallas import RasterConfig
+            self.renderer.raster_cfg = RasterConfig(tile_h=8)
         self.renderer.adopt_window(self.window)
 
         terrain_mod = Terrain(self.renderer)

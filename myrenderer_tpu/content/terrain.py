@@ -156,27 +156,29 @@ def _make_vertex_batch_fn(size: int):
             ids_parts.append(2 * quad + 2 * s2 * i)          # tri0 ranks
             ids_parts.append(2 * quad + 1 + 2 * s2 * i)      # tri1 ranks
 
-        # assemble [3, 4, T] planes by ONE contiguous concat + free
-        # reshape: piece order (corner k, channel ch) row-major, each
-        # plane = per-instance [tri0 block, tri1 block] where tri0's
-        # corner k is slot k and tri1's is slot k + 3.
-        T = 2 * s2 * n_inst
-        clip_parts, vary_parts = [], []
-        for k in range(3):
-            for ch in range(4):
-                for i in range(n_inst):
-                    clip_parts.append(per_slot_clip[i][k][ch])
-                    clip_parts.append(per_slot_clip[i][k + 3][ch])
-                    if ch < 3:
-                        vary_parts.append(per_slot_y[i][k])
-                        vary_parts.append(per_slot_y[i][k + 3])
-                    else:
-                        vary_parts.append(ones)
-                        vary_parts.append(ones)
-        clip = jnp.concatenate(clip_parts).reshape(3, 4, T)
-        vary = jnp.concatenate(vary_parts).reshape(3, 4, T)
-        ids = (jnp.concatenate(ids_parts) if len(ids_parts) > 1
-               else ids_parts[0])
+        # assemble flat planes: plane (corner k, channel ch) = concat
+        # over (instance, tri-half) of contiguous [s2] blocks, where
+        # tri0's corner k is slot k and tri1's is slot k + 3. Each
+        # plane is a flat [T] vector — PlanarTris carries them as-is
+        # (no [3, 4, T] stacking; see the PlanarTris docstring).
+        def cat(parts):
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+        def clip_plane(k, ch):
+            return cat([per_slot_clip[i][k + h][ch]
+                        for i in range(n_inst) for h in (0, 3)])
+
+        def vary_plane(k, ch):
+            if ch == 3:
+                return cat([ones for _ in range(2 * n_inst)])
+            return cat([per_slot_y[i][k + h]
+                        for i in range(n_inst) for h in (0, 3)])
+
+        clip = tuple(tuple(clip_plane(k, ch) for ch in range(4))
+                     for k in range(3))
+        vary = tuple(tuple(vary_plane(k, ch) for ch in range(4))
+                     for k in range(3))
+        ids = cat(ids_parts)
         return rc.PlanarTris(clip, vary, ids)
 
     return vertex_batch_fn

@@ -68,8 +68,17 @@ COEFF_LANES = 16
 
 
 class PlanarTris(NamedTuple):
-    """Planar (structure-of-arrays) triangle batch: ``clip`` f32[3, 4, T]
-    (corner, component, triangle) and ``vary`` f32[3, C, T].
+    """Planar (structure-of-arrays) triangle batch: ``clip`` is a
+    3-tuple (corner) of 4-tuples (clip channel) of flat f32[T] vectors;
+    ``vary`` a 3-tuple of C-tuples of f32[T].
+
+    FLAT vectors, not a stacked [3, 4, T] array, on purpose: consumers
+    (triangle_setup, viewport_bbox) only ever read whole planes, and on
+    TPU a [3, 4, T] array is (4, 128)-tiled so both building it from
+    per-plane vectors and slicing planes back out lower to strided
+    relayout copies (~12 ms/frame of while-loop dynamic-update-slice +
+    copy pairs at the 1M-triangle stretch when this held a stacked
+    array). Tuples of [T] vectors cost nothing to build or consume.
 
     The planar end-to-end vertex interface: batch vertex functions that
     naturally compute per-corner channels (e.g. the terrain's regular
@@ -91,26 +100,44 @@ class PlanarTris(NamedTuple):
     order.
     """
 
-    clip: jax.Array     # f32[3, 4, T]
-    vary: jax.Array     # f32[3, C, T]
+    clip: tuple         # ((f32[T],) * 4,) * 3  — [corner][channel]
+    vary: tuple         # ((f32[T],) * C,) * 3
     ids: jax.Array | None = None   # i32[T] submission ranks (permuted
                                    # producers), else None
 
     @property
     def count(self) -> int:
-        return self.clip.shape[2]
+        return self.clip[0][0].shape[0]
+
+    @property
+    def channels(self) -> int:
+        return len(self.vary[0])
 
     @staticmethod
     def from_interleaved(tri_clip: jax.Array,
                          tri_vary: jax.Array) -> "PlanarTris":
-        """[T, 3, 4]/[T, 3, C] -> planar (one transpose each)."""
-        return PlanarTris(jnp.transpose(tri_clip, (1, 2, 0)),
-                          jnp.transpose(tri_vary, (1, 2, 0)))
+        """[T, 3, 4]/[T, 3, C] -> planar.
+
+        Transpose-then-slice, NOT 12 strided [:, k, ch] extracts, so the
+        emitted HLO prefix is identical to triangle_setup's interleaved
+        branch (same transpose + plane slices) — XLA then makes the same
+        fusion/FMA decisions downstream and the planar lane stays
+        bit-identical to the vmapped lane (pinned by
+        test_planar_batch_vertex_interface; strided extracts produced
+        1-ulp color drift from different fusion shapes)."""
+        cpl = jnp.transpose(tri_clip, (1, 2, 0))         # [3, 4, T]
+        vpl = jnp.transpose(tri_vary, (1, 2, 0))         # [3, C, T]
+        return PlanarTris(
+            tuple(tuple(cpl[k, ch] for ch in range(4)) for k in range(3)),
+            tuple(tuple(vpl[k, ch] for ch in range(vpl.shape[1]))
+                  for k in range(3)))
 
     def interleaved(self) -> tuple[jax.Array, jax.Array]:
         """Planar -> ([T, 3, 4], [T, 3, C])."""
-        return (jnp.transpose(self.clip, (2, 0, 1)),
-                jnp.transpose(self.vary, (2, 0, 1)))
+        return (jnp.stack([jnp.stack(self.clip[k], axis=-1)
+                           for k in range(3)], axis=1),
+                jnp.stack([jnp.stack(self.vary[k], axis=-1)
+                           for k in range(3)], axis=1))
 
     def concat(self, *others: "PlanarTris") -> "PlanarTris":
         """Concatenate along the triangle axis. ``ids`` does not survive
@@ -119,8 +146,12 @@ class PlanarTris(NamedTuple):
         only in-repo user is the oracle path, which resolves in array
         order and ignores ids."""
         return PlanarTris(
-            jnp.concatenate([self.clip] + [o.clip for o in others], 2),
-            jnp.concatenate([self.vary] + [o.vary for o in others], 2))
+            tuple(tuple(jnp.concatenate(
+                [self.clip[k][ch]] + [o.clip[k][ch] for o in others])
+                for ch in range(4)) for k in range(3)),
+            tuple(tuple(jnp.concatenate(
+                [self.vary[k][ch]] + [o.vary[k][ch] for o in others])
+                for ch in range(len(self.vary[0]))) for k in range(3)))
 
 
 class TriCoeffs(NamedTuple):
@@ -163,20 +194,26 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
     """
     f32 = jnp.float32
     # All math on flat [T] vectors: a [T, 3]-shaped op uses 3 of the
-    # VPU's 128 lanes; flat vectors use all of them. Planar input skips
-    # the relayout entirely; interleaved input pays one up-front
-    # transpose instead of 12 strided extracts (strided loads from
-    # [T, 3, 4] were the dominant cost of this function).
+    # VPU's 128 lanes; flat vectors use all of them. Planar input IS
+    # flat per-plane vectors (zero relayouts); interleaved input pays
+    # one up-front transpose instead of 12 strided extracts (strided
+    # loads from [T, 3, 4] were the dominant cost of this function).
     if isinstance(tri_clip, PlanarTris):
-        cpl = tri_clip.clip.astype(f32)                    # [3, 4, T]
-        vpl = tri_clip.vary.astype(f32)                    # [3, C, T]
+        cplk = [[p.astype(f32) for p in tri_clip.clip[k]]
+                for k in range(3)]
+        vplk = [[p.astype(f32) for p in tri_clip.vary[k]]
+                for k in range(3)]
+        C = len(tri_clip.vary[0])
     else:
         cpl = jnp.transpose(tri_clip.astype(f32), (1, 2, 0))  # [3, 4, T]
         vpl = jnp.transpose(tri_vary.astype(f32), (1, 2, 0))  # [3, C, T]
-    xs = [cpl[k, 0] for k in range(3)]
-    ys = [cpl[k, 1] for k in range(3)]
-    zs = [cpl[k, 2] for k in range(3)]
-    ws = [cpl[k, 3] for k in range(3)]
+        C = vpl.shape[1]
+        cplk = [[cpl[k, ch] for ch in range(4)] for k in range(3)]
+        vplk = [[vpl[k, ch] for ch in range(C)] for k in range(3)]
+    xs = [cplk[k][0] for k in range(3)]
+    ys = [cplk[k][1] for k in range(3)]
+    zs = [cplk[k][2] for k in range(3)]
+    ws = [cplk[k][3] for k in range(3)]
 
     us = [(0.5 * x + 0.5 * w) * f32(width) for x, w in zip(xs, ws)]
     vs = [(0.5 * w - 0.5 * y) * f32(height) for y, w in zip(ys, ws)]
@@ -242,8 +279,7 @@ def triangle_setup(tri_clip: jax.Array, tri_vary: jax.Array,
     en_abc = jnp.stack([aa[0] + aa[1] + aa[2],
                         bb[0] + bb[1] + bb[2],
                         cc[0] + cc[1] + cc[2]], axis=1)
-    C = vpl.shape[1]
-    cols = [[vpl[k, ch] for k in range(3)] for ch in range(C)]
+    cols = [[vplk[k][ch] for k in range(3)] for ch in range(C)]
     col_abc = jnp.stack([plane(cols[ch]) for ch in range(C)],
                         axis=-1)                 # [T, 3, C]
 
@@ -327,9 +363,11 @@ def select_straddlers(tri_clip: jax.Array, tri_vary: jax.Array,
     planar = isinstance(tri_clip, PlanarTris)
     if planar:
         T = tri_clip.count
-        w = tri_clip.clip[:, 3, :]                       # [3, T]
-        some_in = (w > W_EPS).any(0)
-        some_out = (w <= W_EPS).any(0)
+        wk = [tri_clip.clip[k][3] for k in range(3)]     # 3 x [T]
+        some_in = ((wk[0] > W_EPS) | (wk[1] > W_EPS)
+                   | (wk[2] > W_EPS))
+        some_out = ((wk[0] <= W_EPS) | (wk[1] <= W_EPS)
+                    | (wk[2] <= W_EPS))
     else:
         T = tri_clip.shape[0]
         w = tri_clip[..., 3]
@@ -348,10 +386,16 @@ def select_straddlers(tri_clip: jax.Array, tri_vary: jax.Array,
     overflow = straddle.sum(dtype=jnp.int32) > cap
 
     if planar:
-        # straddler extraction is tiny (<= cap rows): planar -> small
-        # interleaved slices for the S-H clipper
-        sel_clip = jnp.transpose(tri_clip.clip[:, :, sel], (2, 0, 1))
-        sel_vary = jnp.transpose(tri_clip.vary[:, :, sel], (2, 0, 1))
+        # straddler extraction is tiny (<= cap rows): gather each flat
+        # plane at sel and assemble small interleaved [cap, 3, *]
+        # blocks for the S-H clipper
+        sel_clip = jnp.stack(
+            [jnp.stack([tri_clip.clip[k][ch][sel] for ch in range(4)],
+                       axis=-1) for k in range(3)], axis=1)
+        sel_vary = jnp.stack(
+            [jnp.stack([tri_clip.vary[k][ch][sel]
+                        for ch in range(tri_clip.channels)],
+                       axis=-1) for k in range(3)], axis=1)
     else:
         sel_clip = tri_clip[sel]
         sel_vary = tri_vary[sel]

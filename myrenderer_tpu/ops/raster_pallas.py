@@ -157,17 +157,19 @@ def viewport_bbox(tri_clip, width: int, vp_height: int):
     lower to lane-hostile relayout copies — BASELINE.md round-3
     lever 4)."""
     if isinstance(tri_clip, rc.PlanarTris):
-        c = tri_clip.clip
-        w = jnp.maximum(c[:, 3, :], rc.W_EPS)            # [3, T]
-        u = (0.5 * c[:, 0, :] / w + 0.5) * width
-        v = (0.5 - 0.5 * c[:, 1, :] / w) * vp_height
-        ax = 0
-    else:
-        w = jnp.maximum(tri_clip[..., 3], rc.W_EPS)      # [T, 3]
-        u = (0.5 * tri_clip[..., 0] / w + 0.5) * width
-        v = (0.5 - 0.5 * tri_clip[..., 1] / w) * vp_height
-        ax = 1
-    return (u.min(ax), u.max(ax), v.min(ax), v.max(ax))
+        us, vs = [], []
+        for k in range(3):
+            w = jnp.maximum(tri_clip.clip[k][3], rc.W_EPS)   # [T]
+            us.append((0.5 * tri_clip.clip[k][0] / w + 0.5) * width)
+            vs.append((0.5 - 0.5 * tri_clip.clip[k][1] / w) * vp_height)
+        return (jnp.minimum(jnp.minimum(us[0], us[1]), us[2]),
+                jnp.maximum(jnp.maximum(us[0], us[1]), us[2]),
+                jnp.minimum(jnp.minimum(vs[0], vs[1]), vs[2]),
+                jnp.maximum(jnp.maximum(vs[0], vs[1]), vs[2]))
+    w = jnp.maximum(tri_clip[..., 3], rc.W_EPS)          # [T, 3]
+    u = (0.5 * tri_clip[..., 0] / w + 0.5) * width
+    v = (0.5 - 0.5 * tri_clip[..., 1] / w) * vp_height
+    return (u.min(1), u.max(1), v.min(1), v.max(1))
 
 
 def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
@@ -238,19 +240,62 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     small = valid & (span <= K)
     big = valid & (span > K)
 
-    # K candidate tiles per triangle, row-major over its bbox tile
-    # rect. [K, T] layout — K on SUBLANES, T on lanes: a [T, K=8]
-    # array leaves 120 of 128 vector lanes dead (measured ~0.8 ms per
-    # elementwise op at 1M triangles); [K, T] tiles (8, 128) fully.
-    # The bin sort is order-oblivious, so the K-major flattening is
-    # free.
-    eK = jnp.arange(K, dtype=jnp.int32)[:, None]       # [K, 1]
-    sxr = jnp.maximum(sx, 1)[None, :]                  # [1, T]
-    ey = eK // sxr                                     # [K, T]
-    ex = eK - ey * sxr                                 # == eK % sxr
-    tile = (ty0[None, :] + ey) * ntx + (tx0[None, :] + ex)
-    live = small[None, :] & (eK < span[None, :])
-    tile = jnp.where(live, tile, NT)                   # NT = invalid bucket
+    # Candidate tiles, row-major over each triangle's bbox tile rect —
+    # COMPRESSED by span class. A dense [K, T] candidate grid sorts
+    # K*T keys while live incidences run ~1.3-1.7 per triangle at
+    # megatriangle scale (median bbox ~2 px^2): ~80% of the sorted
+    # elements are dead padding, and the TPU sort is a data-oblivious
+    # sorting network so dead elements cost exactly as much as live
+    # ones. Classes:
+    #   A: slot 0 (first bbox tile), every small triangle      -> [T]
+    #   B: slot 1 (second bbox tile), triangles with span >= 2 -> [T]
+    #   C: slots 2..K-1, triangles with span >= 3, COMPACTED to a
+    #      static capacity c (few at megatriangle scale; overflow
+    #      rides the stream lane and triggers the adaptive bump)
+    #                                                     -> [K-2, c]
+    # Total sorted elements: 2T + (K-2)c ~ 2.75T vs KT = 8T.
+    tri_idx = jnp.arange(T, dtype=jnp.int32)
+    sxr = jnp.maximum(sx, 1)                           # [T]
+    tile0 = ty0 * ntx + tx0
+    tile_a = jnp.where(small, tile0, NT)
+    parts_tile = [tile_a]
+    parts_tri = [tri_idx]
+    overflow_c = jnp.zeros((), bool)
+    if K >= 2:
+        # slot 1: (tx0+1, ty0) when the bbox is >= 2 tiles wide, else
+        # (tx0, ty0+1) — row-major rank 1 of the rect
+        tile_b = tile0 + jnp.where(sx >= 2, 1, ntx)
+        parts_tile.append(jnp.where(small & (span >= 2), tile_b, NT))
+        parts_tri.append(tri_idx)
+    c = 0
+    if K >= 3:
+        # compact span>=3 triangles: their (ty0, tx0, sx, span) rows
+        # gather from a 128-lane-padded i32 table (narrow-row gathers
+        # hit a ~5x slower path; the barrier pins the pad ahead of the
+        # gather, same trick as the coefficient stream below)
+        c = _cdiv(max(min(T, 2**14), (T // 8) * cfg.big_scale), 128) * 128
+        wide = small & (span >= 3)
+        order = jnp.where(wide, tri_idx, T)
+        csel = jnp.sort(order, stable=False)
+        if T < c:
+            csel = jnp.concatenate([csel, jnp.full(c - T, T, jnp.int32)])
+        csel = csel[:c]
+        c_live = csel < T
+        overflow_c = wide.sum(dtype=jnp.int32) > c
+        csel = jnp.minimum(csel, max(T - 1, 0))
+        binfo = lax.optimization_barrier(jnp.pad(
+            jnp.stack([ty0, tx0, sxr, span], axis=1), ((0, 0), (0, 124))))
+        rows = binfo[csel]                             # [c, 128] i32
+        cty0, ctx0 = rows[:, 0][None, :], rows[:, 1][None, :]
+        csx, cspan = rows[:, 2][None, :], rows[:, 3][None, :]
+        eK = jnp.arange(2, K, dtype=jnp.int32)[:, None]    # [K-2, 1]
+        ey = eK // csx                                     # [K-2, c]
+        ex = eK - ey * csx
+        ctile = (cty0 + ey) * ntx + (ctx0 + ex)
+        c_ok = c_live[None, :] & (eK < cspan)
+        parts_tile.append(jnp.where(c_ok, ctile, NT).reshape(-1))
+        parts_tri.append(jnp.broadcast_to(csel[None, :],
+                                          (K - 2, c)).reshape(-1))
 
     # sort incidences by (tile, tri): per-tile contiguity, ascending
     # submission order within a tile; dead incidences (tile == NT) sort
@@ -266,9 +311,11 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     # orders, so the kernel's CSR contract is untouched. The variadic
     # two-key sort remains the fallback for key spaces beyond F=8
     # groups (no hard wall).
-    tri_idx = jnp.arange(T, dtype=jnp.int32)
-    tile_flat = tile.reshape(-1)                       # K-major [K*T]
-    tri_flat = jnp.broadcast_to(tri_idx[None, :], (K, T)).reshape(-1)
+    tile_flat = (jnp.concatenate(parts_tile) if len(parts_tile) > 1
+                 else parts_tile[0])
+    tri_flat = (jnp.concatenate(parts_tri) if len(parts_tri) > 1
+                else parts_tri[0])
+    NC = int(tile_flat.shape[0])       # total candidates (was K*T dense)
     tile_range = jnp.arange(NT, dtype=jnp.int32)
 
     # Stream capacity: dead incidence slots sort to the tail past every
@@ -284,8 +331,8 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     # spans 3-8) must not need adaptive bumps just to fit the stream
     S_total = min(max(_cdiv(int(T * cfg.stream_factor * cfg.big_scale),
                             W),
-                      _cdiv(min(K * T, 2**17), W), 1),
-                  _cdiv(K * T, W)) * W
+                      _cdiv(min(NC, 2**17), W), 1),
+                  _cdiv(NC, W)) * W
 
     # pre-gather the stream: coefficient rows in bin order, in whole DMA
     # windows, one entry per 128-lane stream row (Mosaic requires manual
@@ -346,7 +393,7 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
             #  - searchsorted 'scan' when bins x candidates explodes
             #    (megatriangle scenes: the while loop's ~2k iterations
             #    amortize over millions of keys just fine).
-            if K * T * ntg <= 2**29:
+            if NC * ntg <= 2**29:
                 bins = jnp.arange(ntg, dtype=jnp.int32)
                 hist = (ltile[None, :] == bins[:, None]).sum(
                     axis=1, dtype=jnp.int32)
@@ -381,7 +428,7 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
         # at 4K/1M with F=2)
         idx_all = jnp.concatenate(streams) if F > 1 else streams[0]
         stream = packed128[idx_all]
-        overflow_stream = jnp.stack(live_l).max() > Sg
+        overflow_stream = (jnp.stack(live_l).max() > Sg) | overflow_c
     else:
         tile_sorted, tri_sorted2 = lax.sort((tile_flat, tri_flat),
                                             num_keys=2)
@@ -391,7 +438,7 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
             jnp.int32)
         S = S_total
         live_total = ends[NT - 1] if NT > 0 else jnp.int32(0)
-        overflow_stream = live_total > S
+        overflow_stream = (live_total > S) | overflow_c
         ends = jnp.minimum(ends, S)
         starts = jnp.minimum(starts, S)
         counts = ends - starts                         # [NT]
@@ -734,6 +781,20 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
     tile_spec = pl.BlockSpec((BD * cfg.tile_h, R * cfg.tile_w),
                              lambda ty, tx: (ty, tx),
                              memory_space=pltpu.VMEM)
+    # In interpret mode (CPU tests) the kernel is inlined into the
+    # surrounding XLA program, so its f32 math can fuse with whatever
+    # PRODUCED the inputs — two frame programs with different upstream
+    # graphs (e.g. planar vs vmapped vertex stages) then make different
+    # FMA/fusion decisions inside the kernel and depth wobbles by 1 ulp,
+    # flipping depth-tie winners. Barriers cut producer/consumer fusion
+    # so the kernel region compiles as a self-contained island: output
+    # bits are a function of input bits only (matching real-TPU
+    # behavior, where pallas_call is already a compilation boundary).
+    if cfg.interpret:
+        (y0_arr, starts, counts, big_count, big_touch, stream, big_rows,
+         depth_p) = lax.optimization_barrier(
+            (y0_arr, starts, counts, big_count, big_touch, stream,
+             big_rows, depth_p))
     fused, winner = pl.pallas_call(
         kernel,
         grid=(nty // BD, ntx // R),
@@ -763,6 +824,8 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
         interpret=cfg.interpret,
     )(y0_arr, starts, counts, big_count, big_touch, stream,
       big_rows, depth_p)
+    if cfg.interpret:
+        fused, winner = lax.optimization_barrier((fused, winner))
 
     overflowed = ovf    # [2] = (stream capacity, big list)
     return (fused[0, :height, :width], winner[:height, :width],

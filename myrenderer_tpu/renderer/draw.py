@@ -264,15 +264,15 @@ def _batch_vertex_products(plan, args, world):
                 if shard_v is not None:
                     from jax.sharding import (NamedSharding,
                                               PartitionSpec as P)
+                    rows = NamedSharding(plan.mesh, P("rows"))
+                    pinr = lambda a: jax.lax.with_sharding_constraint(
+                        a, rows)
                     clip = rc.PlanarTris(
-                        jax.lax.with_sharding_constraint(
-                            clip.clip, _shard_last(plan.mesh)),
-                        jax.lax.with_sharding_constraint(
-                            clip.vary, _shard_last(plan.mesh)),
-                        None if clip.ids is None else
-                        jax.lax.with_sharding_constraint(
-                            clip.ids,
-                            NamedSharding(plan.mesh, P("rows"))))
+                        tuple(tuple(pinr(p) for p in corner)
+                              for corner in clip.clip),
+                        tuple(tuple(pinr(p) for p in corner)
+                              for corner in clip.vary),
+                        None if clip.ids is None else pinr(clip.ids))
                 # planar end-to-end path: no [V,4] -> [T,3,4] relayout
                 out.append((s_i, b, clip, None, inst_vis[tri_iid]))
                 continue
@@ -283,11 +283,6 @@ def _batch_vertex_products(plan, args, world):
             out.append((s_i, b, tri_clip, tri_vary, inst_vis[tri_iid]))
     return out
 
-
-def _shard_last(mesh):
-    """PlanarTris sharding: the triangle axis is LAST ([3, 4, T])."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    return NamedSharding(mesh, P(None, None, "rows"))
 
 
 def _clip_near(plan, tri_clip, tri_vary, valid, overflow, z_bias=None,
@@ -316,6 +311,17 @@ def _setup_batch(plan, tri_clip, tri_vary, valid, cull_mode, overflow,
     Returns (packed, valid, bbox, overflow); ``base_index`` offsets the
     packed id lane to the batch's global submission rank."""
     from ..ops import raster_pallas
+    if plan.raster_cfg.interpret:
+        # pin the vertex->raster boundary on the CPU backend: without
+        # it, setup math fuses with whatever PRODUCED the clip values,
+        # and two frame programs with different vertex-stage graphs
+        # (planar vs vmapped) make different FMA decisions — a 1-ulp
+        # depth-plane wobble that flips depth-tie winners. Barriered,
+        # bit-identical vertex outputs render bit-identical frames
+        # (test_planar_batch_vertex_interface). Real-TPU runs keep full
+        # fusion freedom (each program is internally deterministic).
+        tri_clip, tri_vary, valid = jax.lax.optimization_barrier(
+            (tri_clip, tri_vary, valid))
     # eye-plane straddlers clip into a SMALL appendee block; the main
     # arrays are never copied (select_straddlers) — main and appendees
     # are set up separately and only their packed [*, 32] rows concat

@@ -597,26 +597,39 @@ def test_texture_sampler_binding_kind(use_bilinear):
 
 
 def test_planar_batch_vertex_interface():
-    """A pipeline whose batch vertex fn emits a PLANAR [3, 4, T] batch
+    """A pipeline whose batch vertex fn emits a PLANAR batch
     (raster_common.PlanarTris) renders pixel-identically to the same
     geometry through the interleaved vmapped path — covering the planar
-    end-to-end lane through Draw/clip_near/triangle_setup/binning."""
+    end-to-end lane through Draw/clip_near/triangle_setup/binning.
+
+    The two triangles overlap at DISTINCT depths on purpose: the planar
+    and vmapped vertex stages are structurally different XLA graphs, so
+    setup-plane coefficients can legitimately differ by 1 ulp (fusion
+    context), and an artificial EXACT depth tie would let that wobble
+    flip the id tie-break. Cross-formulation bit-identity is guaranteed
+    for coverage/winner decisions (edge planes, separated depths) and
+    hence pixels — not for coplanar exact ties (degenerate input)."""
     from myrenderer_tpu.ops.raster_common import PlanarTris
 
     pts = np.array([[0.1, 0.1], [0.9, 0.2], [0.2, 0.9],
                     [0.5, 0.05], [0.95, 0.6], [0.6, 0.5]], np.float32)
+    zs = np.array([1.0, 0.6], np.float32)   # tri1 in front where they
+                                            # overlap (no depth ties)
 
     def vertex_fn(ctx):
         vi = ctx.vertex_index
         p = jnp.asarray(pts)[vi]
-        clip = ctx.world @ jnp.array([p[0], p[1], 1.0, 1.0], jnp.float32)
+        z = jnp.asarray(zs)[vi // 3]
+        clip = ctx.world @ jnp.array([p[0], p[1], z, 1.0], jnp.float32)
         return clip, jnp.array([0.2, 0.9, 0.4, 1.0], jnp.float32)
 
     def vertex_batch_fn(ctx):
         w = ctx.worlds[0]                                  # [4, 4]
         p = jnp.asarray(pts).reshape(2, 3, 2)              # [T, 3, 2]
         hom = jnp.stack([p[:, :, 0], p[:, :, 1],
-                         jnp.ones((2, 3)), jnp.ones((2, 3))], -1)
+                         jnp.broadcast_to(jnp.asarray(zs)[:, None],
+                                          (2, 3)),
+                         jnp.ones((2, 3))], -1)
         clip = jnp.einsum("ab,tkb->tka", w, hom)           # [T, 3, 4]
         vary = jnp.broadcast_to(
             jnp.array([0.2, 0.9, 0.4, 1.0], jnp.float32), (2, 3, 4))
@@ -624,6 +637,7 @@ def test_planar_batch_vertex_interface():
 
     def build(batch):
         rend, window = make_renderer(64, 64, backend="pallas")
+        rend.debug_winner = True
         pipe = Pipeline.create(
             rend, vertex_fn=vertex_fn,
             vertex_batch_fn=vertex_batch_fn if batch else None,
@@ -633,10 +647,14 @@ def test_planar_batch_vertex_interface():
         node.get_backing().set_vertex_buffer(vb)
         surf = Surface.create_window_scene(rend, window, node)
         surf.set_perspective(ortho_unit())
-        return render_frame(rend, [surf], clear=(0, 0, 1, 1))
+        fb = render_frame(rend, [surf], clear=(0, 0, 1, 1))
+        return fb, [np.asarray(w) for w in rend.draws[0].last_winners]
 
-    planar_fb = build(batch=True)
-    vmapped_fb = build(batch=False)
+    planar_fb, planar_win = build(batch=True)
+    vmapped_fb, vmapped_win = build(batch=False)
+    for wp, wv in zip(planar_win, vmapped_win):
+        np.testing.assert_array_equal(wp, wv)   # decision-exact
+    assert (planar_win[0] >= 0).sum() > 100     # both tris visible
     np.testing.assert_array_equal(planar_fb, vmapped_fb)
 
 
