@@ -106,6 +106,19 @@ class RasterConfig:
     auto_span: bool = True        # scale the span budget with the tile
                                   # grid (see _span_budget); False pins
                                   # it to max_tiles_per_tri exactly
+    subtiles: int = 1             # lane-group raster granularity: bin
+                                  # and evaluate at tile_w/subtiles-px
+                                  # columns (1, 2 or 4). Each stream row
+                                  # evaluates ONLY its own subtile's
+                                  # (tile_h, tile_w/subtiles) pixels —
+                                  # the lever against sub-tile-sized
+                                  # triangles wasting most of a
+                                  # (tile_h, 128) tile's lanes (the
+                                  # demo median triangle covers ~10% of
+                                  # an 8x128 tile; the stretch median
+                                  # ~2 px). Kernel out blocks stay
+                                  # (tile_h, tile_w); only binning and
+                                  # in-kernel eval shapes change.
     interpret: bool = False      # Pallas interpreter (CPU testing)
 
 
@@ -241,9 +254,9 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     big = valid & (span > K)
 
     # Candidate tiles, row-major over each triangle's bbox tile rect —
-    # COMPRESSED by span class. A dense [K, T] candidate grid sorts
-    # K*T keys while live incidences run ~1.3-1.7 per triangle at
-    # megatriangle scale (median bbox ~2 px^2): ~80% of the sorted
+    # COMPRESSED by span class at megatriangle scale. A dense [K, T]
+    # candidate grid sorts K*T keys while live incidences run ~1.3-1.7
+    # per triangle when the median bbox is ~2 px^2: ~80% of the sorted
     # elements are dead padding, and the TPU sort is a data-oblivious
     # sorting network so dead elements cost exactly as much as live
     # ones. Classes:
@@ -253,27 +266,30 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     #      static capacity c (few at megatriangle scale; overflow
     #      rides the stream lane and triggers the adaptive bump)
     #                                                     -> [K-2, c]
-    # Total sorted elements: 2T + (K-2)c ~ 2.75T vs KT = 8T.
+    # Total sorted elements: 2T + (K-2)c ~ 2.75T vs KT = 8T at the
+    # 4K/1M stretch (101.6 -> 93.9 ms/frame measured). At SMALL scenes
+    # the compaction capacity is a large fraction of T (demo: c = 16384
+    # vs T = 20k) so the compressed grid is barely smaller than dense
+    # while adding a sort + padded gather + dynamic-divisor rect decode
+    # (demo 1080p measured 7.8 -> 10.5 ms): compression only engages
+    # when c <= T/4, else the dense grid below.
     tri_idx = jnp.arange(T, dtype=jnp.int32)
     sxr = jnp.maximum(sx, 1)                           # [T]
-    tile0 = ty0 * ntx + tx0
-    tile_a = jnp.where(small, tile0, NT)
-    parts_tile = [tile_a]
-    parts_tri = [tri_idx]
     overflow_c = jnp.zeros((), bool)
-    if K >= 2:
+    c = _cdiv(max(min(T, 2**14), (T // 8) * cfg.big_scale), 128) * 128
+    if K >= 3 and c <= T // 4:
+        tile0 = ty0 * ntx + tx0
+        parts_tile = [jnp.where(small, tile0, NT)]
+        parts_tri = [tri_idx]
         # slot 1: (tx0+1, ty0) when the bbox is >= 2 tiles wide, else
         # (tx0, ty0+1) — row-major rank 1 of the rect
         tile_b = tile0 + jnp.where(sx >= 2, 1, ntx)
         parts_tile.append(jnp.where(small & (span >= 2), tile_b, NT))
         parts_tri.append(tri_idx)
-    c = 0
-    if K >= 3:
         # compact span>=3 triangles: their (ty0, tx0, sx, span) rows
         # gather from a 128-lane-padded i32 table (narrow-row gathers
         # hit a ~5x slower path; the barrier pins the pad ahead of the
         # gather, same trick as the coefficient stream below)
-        c = _cdiv(max(min(T, 2**14), (T // 8) * cfg.big_scale), 128) * 128
         wide = small & (span >= 3)
         order = jnp.where(wide, tri_idx, T)
         csel = jnp.sort(order, stable=False)
@@ -296,6 +312,19 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
         parts_tile.append(jnp.where(c_ok, ctile, NT).reshape(-1))
         parts_tri.append(jnp.broadcast_to(csel[None, :],
                                           (K - 2, c)).reshape(-1))
+    else:
+        # dense [K, T] candidate grid — K on SUBLANES, T on lanes (a
+        # [T, K] layout leaves 120 of 128 vector lanes dead, measured
+        # ~0.8 ms per elementwise op at 1M triangles); the bin sort is
+        # order-oblivious so the K-major flattening is free
+        eK = jnp.arange(K, dtype=jnp.int32)[:, None]   # [K, 1]
+        ey = eK // sxr[None, :]                        # [K, T]
+        ex = eK - ey * sxr[None, :]
+        tile = (ty0[None, :] + ey) * ntx + (tx0[None, :] + ex)
+        live = small[None, :] & (eK < span[None, :])
+        parts_tile = [jnp.where(live, tile, NT).reshape(-1)]
+        parts_tri = [jnp.broadcast_to(tri_idx[None, :],
+                                      (K, T)).reshape(-1)]
 
     # sort incidences by (tile, tri): per-tile contiguity, ascending
     # submission order within a tile; dead incidences (tile == NT) sort
