@@ -136,8 +136,9 @@ def main(argv=None):
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--raster", default=None,
                     help="RasterConfig override 'th,tw,chunk,window"
-                         "[,tiles_x[,span_budget[,bands]]]' (kernel "
-                         "tuning sweeps; span_budget 0 keeps auto)")
+                         "[,tiles_x[,span_budget[,bands[,subtiles]]]]' "
+                         "(kernel tuning sweeps; span_budget 0 keeps "
+                         "auto)")
     args = ap.parse_args(argv)
 
     raster = None
@@ -152,7 +153,9 @@ def main(argv=None):
                                   "auto_span": False}
                                  if len(vals) > 5 and vals[5] else {}),
                               **({"bands": vals[6]}
-                                 if len(vals) > 6 else {}))
+                                 if len(vals) > 6 else {}),
+                              **({"subtiles": vals[7]}
+                                 if len(vals) > 7 else {}))
 
     import jax
     w, h = (int(v) for v in args.size.split("x"))

@@ -229,9 +229,13 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     row blocks only, never interleaved corner arrays."""
     vp_height = height if vp_height is None else vp_height
     y0 = jnp.asarray(y0, jnp.float32)
+    SB = cfg.subtiles
     nty = _cdiv(height, cfg.tile_h)
-    ntx = _cdiv(width, cfg.tile_w)
-    NT = nty * ntx
+    ntx_t = _cdiv(width, cfg.tile_w)    # tile columns (kernel grid)
+    tw_bin = cfg.tile_w // SB           # bin-column width in px
+    ntx = ntx_t * SB                    # BIN columns (subtile grid):
+    NT = nty * ntx                      # subtile-minor, so a tile's SB
+                                        # segments are consecutive
     B, _chunk = _big_geometry(cfg)
     W = cfg.stream_window
     T = valid.shape[0]
@@ -241,8 +245,8 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     miny = jnp.clip(jnp.floor(bbox[2]) - y0, 0, height - 1)
     maxy = jnp.clip(jnp.ceil(bbox[3]) - y0, 0, height - 1)
 
-    tx0 = (minx / cfg.tile_w).astype(jnp.int32)
-    tx1 = (maxx / cfg.tile_w).astype(jnp.int32)
+    tx0 = (minx / tw_bin).astype(jnp.int32)
+    tx1 = (maxx / tw_bin).astype(jnp.int32)
     ty0 = (miny / cfg.tile_h).astype(jnp.int32)
     ty1 = (maxy / cfg.tile_h).astype(jnp.int32)
     sx = tx1 - tx0 + 1
@@ -381,7 +385,7 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
         return (rows * ntx + 1) * (T + 1)
 
     F = 1
-    while F < min(nty, 8) and group_space(_cdiv(nty, F)) >= 2**32:
+    while F < min(nty, 32) and group_space(_cdiv(nty, F)) >= 2**32:
         F += 1
     # test hook: pin the group count so small scenes exercise the
     # multi-group path (real frames only split at huge NT x T)
@@ -488,18 +492,20 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     big_ids = jnp.clip(big_sorted[:B], 0, max(T - 1, 0)).astype(jnp.int32)
     big_rows = packed[big_ids][None]                   # [1, B, 32]
 
-    # per-tile flag: does ANY big triangle's bbox touch the tile? lets
-    # the kernel skip the big loop entirely on untouched tiles
+    # per-TILE flag (kernel-grid granularity, not bin granularity):
+    # does ANY big triangle's bbox touch the tile? lets the kernel skip
+    # the big loop entirely on untouched tiles
     slotv = jnp.arange(B, dtype=jnp.int32)
     big_live = slotv < big_count                       # [B]
-    btx0, btx1 = tx0[big_ids], tx1[big_ids]
+    btx0, btx1 = tx0[big_ids] // SB, tx1[big_ids] // SB
     bty0, bty1 = ty0[big_ids], ty1[big_ids]
-    t_y = tile_range // ntx
-    t_x = tile_range % ntx
+    tile_range_t = jnp.arange(nty * ntx_t, dtype=jnp.int32)
+    t_y = tile_range_t // ntx_t
+    t_x = tile_range_t % ntx_t
     hit = ((t_x[:, None] >= btx0[None, :]) & (t_x[:, None] <= btx1[None, :])
            & (t_y[:, None] >= bty0[None, :]) & (t_y[:, None] <= bty1[None, :])
-           & big_live[None, :])                        # [NT, B]
-    big_touch = hit.any(axis=1).astype(jnp.int32)      # [NT]
+           & big_live[None, :])                        # [nty*ntx_t, B]
+    big_touch = hit.any(axis=1).astype(jnp.int32)
 
     return stream, starts, counts, big_rows, big_count[None], \
         big_touch, jnp.stack([overflow_stream, overflow_big])
@@ -515,7 +521,7 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                    stream_scratch, dma_sems,
                    *, tile_h: int, tile_w: int,
                    chunk: int, window: int, tiles_x: int, ntx: int,
-                   bands: int = 1):
+                   bands: int = 1, subtiles: int = 1):
     """One program = ``bands`` consecutive (tile_h, tile_w) fine tiles
     along y (an in-kernel fori loop — per-program fixed costs and
     in/out block DMAs amortize across bands WITHOUT unrolling the body,
@@ -532,12 +538,30 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
     (next band, next x-tile, or next program) into the buffer it will
     look in. Rows are evaluated in ``chunk``-row sub-blocks as
     (G, THW) outer-product FMAs with a min-reduce depth resolve
-    (lowest-id tie-break == submission-order 'less' semantics)."""
+    (lowest-id tie-break == submission-order 'less' semantics).
+
+    With ``subtiles`` = SB > 1, binning ran on an SB-x-finer column grid
+    (tile_w/SB-px subtile columns, subtile-minor order — a tile's SB
+    CSR segments are CONSECUTIVE in the stream, so the window DMA
+    machinery is untouched) and each stream row evaluates ONLY its own
+    subtile's (tile_h, tile_w/SB) pixels: the per-entry eval cost drops
+    SBx for triangles smaller than a tile. Each row's subtile comes
+    from its stream position vs the SB-1 interior CSR bounds; winner
+    resolution is per-subtile via masked reduces and exact select
+    chains, and the winner's varying planes are recovered with an
+    at-most-one-nonzero-per-output matmul on the (otherwise idle) MXU —
+    exactly ONE row wins per (subtile, pixel), so any reduction
+    order/precision reproduces the winning row's f32 plane value
+    exactly. Big-list triangles evaluate against all SB subtiles
+    (same total lanes as the SB=1 full-tile eval)."""
     THW = tile_h * tile_w
     G = chunk
     W = window
     R = tiles_x
     B = bands
+    SB = subtiles
+    SW = tile_w // SB
+    THWS = tile_h * SW
     ty_c = pl.program_id(0)
     txg = pl.program_id(1)
     nty_c = pl.num_programs(0)
@@ -557,20 +581,37 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
         t = fy * ntx + tx
         # y0: global row of the frame band's first row (multi-chip row
         # shards); coverage/depth math runs in GLOBAL pixel coordinates
-        py = ((flat // tile_w) + fy * tile_h + y0_ref[0]).astype(
+        py_full = ((flat // tile_w) + fy * tile_h + y0_ref[0]).astype(
             jnp.float32) + 0.5
+        if SB > 1:
+            # subtile pixel grids: per-subtile flat index = y*SW + xl
+            # (y-major within the subtile); a row's px adds its own
+            # subtile's x offset
+            flat_s = lax.broadcasted_iota(jnp.int32, (1, THWS), 1)
+            px_sub0 = ((flat_s % SW) + tx * tile_w).astype(
+                jnp.float32) + 0.5
+            py_sub = ((flat_s // SW) + fy * tile_h
+                      + y0_ref[0]).astype(jnp.float32) + 0.5
 
-        start = starts_ref[t]
-        n = counts_ref[t]
-        end = start + n
+        # CSR bins are at SUBTILE granularity (subtile-minor order):
+        # the tile's SB consecutive segments stream as one range
+        tb = t * SB
+        start = starts_ref[tb]
+        end = starts_ref[tb + SB - 1] + counts_ref[tb + SB - 1]
+        n = end - start
+        # interior subtile bounds (stream positions >= sbounds[i-1]
+        # belong to subtile >= i)
+        sbounds = [starts_ref[tb + i] for i in range(1, SB)]
         # skip the shared big-triangle loop on untouched tiles
         nbig = jnp.where(big_touch_ref[t] > 0, big_count_ref[0], 0)
 
-        def eval_block(sub, lane_base, live, carry, px=px):
+        def eval_block(sub, lane_base, live, carry, px=px, py=None):
             """sub: (g, >= lane_base + LANES) coefficient rows — a
             (G, 128) stream window slice or the (g, 32) big-list rows.
             live: (g, 1) slot mask. Coefficients are consumed as
             single-lane slices (cheap at any static lane offset)."""
+            if py is None:
+                py = py_full
             depth, winner, nums, den = carry
             g = sub.shape[0]
 
@@ -583,7 +624,7 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             # sentinel must exceed ANY representable depth (layer-
             # biased merged passes go beyond 1.0)
             zm = jnp.where(cov, z, jnp.float32(jnp.inf))
-            ids = jnp.broadcast_to(lane(16), (g, THW))
+            ids = jnp.broadcast_to(lane(16), zm.shape)
             zmin = jnp.min(zm, axis=0, keepdims=True)      # (1, THW)
             idmin = jnp.min(jnp.where(zm == zmin, ids,
                                       jnp.float32(3e38)),
@@ -615,6 +656,81 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                     tuple(jnp.where(win, nc, old)
                           for nc, old in zip(nums_c, nums)),
                     jnp.where(win, den_c, den))
+
+        def eval_block_sub(sub, live, sb_r, carry):
+            """Subtile-granularity binned eval (SB > 1): each row
+            evaluates ONLY its own subtile's (tile_h, SW) pixels.
+            ``sb_r`` (g, 1) i32 = each row's subtile; ``carry`` is a
+            tuple of SB per-subtile (depth, winner, nums, den) tuples,
+            each over (1, THWS) lanes."""
+            g = sub.shape[0]
+
+            def lane(k):
+                return sub[:, k:k + 1]
+
+            scalars = tuple(lane(k) for k in range(rc.COEFF_LANES))
+            # row r's pixels: its own subtile's x-range
+            pxr = px_sub0 + (sb_r * SW).astype(jnp.float32)  # (g, THWS)
+            cov, z = rc.coverage_depth(scalars, pxr, py_sub)
+            cov = cov & live
+            zm = jnp.where(cov, z, jnp.float32(jnp.inf))
+            ids = jnp.broadcast_to(lane(16), zm.shape)
+            # per-subtile winner resolve: min over the rows of each
+            # subtile only (rows of other subtiles hold different
+            # pixels at the same lane)
+            zmin_s, idmin_s, masks = [], [], []
+            for sb in range(SB):
+                m = sb_r == sb                             # (g, 1)
+                zs = jnp.where(m, zm, jnp.float32(jnp.inf))
+                zmin = jnp.min(zs, axis=0, keepdims=True)  # (1, THWS)
+                idm = jnp.min(jnp.where(zs == zmin, ids,
+                                        jnp.float32(3e38)),
+                              axis=0, keepdims=True)
+                zmin_s.append(zmin)
+                idmin_s.append(idm)
+                masks.append(m)
+            # per-row reference values of the row's OWN subtile (exact
+            # select chain — comparisons must see the exact f32 bits)
+            zmin_r, idmin_r = zmin_s[0], idmin_s[0]
+            for sb in range(1, SB):
+                zmin_r = jnp.where(masks[sb], zmin_s[sb], zmin_r)
+                idmin_r = jnp.where(masks[sb], idmin_s[sb], idmin_r)
+            is_win_row = cov & (zm == zmin_r) & (ids == idmin_r)
+            wf = is_win_row.astype(jnp.float32)
+
+            # winner's varying planes, per subtile: out[sb, l] =
+            # sum_g M[sb, g] * wf[g, l] * val[g, l]. Exactly ONE row
+            # wins per (subtile, lane), so every term but one is an
+            # exact 0.0 f32 and ANY reduction order/precision
+            # reproduces the winning row's plane value bit-exactly —
+            # which lets the (otherwise idle) MXU do the reduction
+            # instead of SB x 5 masked VPU sum-reduces.
+            MT = (sb_r == lax.broadcasted_iota(jnp.int32, (1, SB), 1)
+                  ).astype(jnp.float32)                    # (g, SB)
+
+            def plane_sb(ka, kb, kc):
+                val = lane(ka) * pxr + lane(kb) * py_sub + lane(kc)
+                return lax.dot_general(
+                    MT, wf * val, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (SB, THWS)
+
+            den_c = plane_sb(17, 18, 19)
+            nums_c = tuple(plane_sb(20 + 3 * ch, 21 + 3 * ch,
+                                    22 + 3 * ch) for ch in range(4))
+
+            out = []
+            for sb in range(SB):
+                depth, winner, nums, den = carry[sb]
+                zmin = zmin_s[sb]
+                idw = idmin_s[sb].astype(jnp.int32)
+                win = (zmin < depth) | ((zmin == depth) & (idw < winner))
+                out.append((
+                    jnp.where(win, zmin, depth),
+                    jnp.where(win, idw, winner),
+                    tuple(jnp.where(win, nums_c[ch][sb:sb + 1], nums[ch])
+                          for ch in range(4)),
+                    jnp.where(win, den_c[sb:sb + 1], den)))
+            return tuple(out)
 
         # --- binned triangles: double-buffered stream windows ----------
         # one entry per 128-lane stream row (lanes [COEFF..128) = pad);
@@ -651,18 +767,34 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                 rows = stream_scratch[slot, pl.ds(ci * G, G), :]
                 pos = wbase + ci * G + r_iota
                 live = (pos >= start) & (pos < end)
-                return eval_block(rows, 0, live, carry)
+                if SB == 1:
+                    return eval_block(rows, 0, live, carry)
+                sb_r = jnp.zeros_like(pos)
+                for bnd in sbounds:
+                    sb_r = sb_r + (pos >= bnd).astype(jnp.int32)
+                return eval_block_sub(rows, live, sb_r, carry)
 
             return lax.fori_loop(c0, c1, chunk_body, carry)
 
         boff = b * tile_h      # static when B == 1 (b is a python int)
-        carry = (depth_in_ref[pl.ds(boff, tile_h),
-                              r * tile_w:(r + 1) * tile_w]
-                 .reshape(1, THW),
-                 jnp.full((1, THW), -1, jnp.int32),
-                 tuple(jnp.zeros((1, THW), jnp.float32)
+        if SB == 1:
+            carry = (depth_in_ref[pl.ds(boff, tile_h),
+                                  r * tile_w:(r + 1) * tile_w]
+                     .reshape(1, THW),
+                     jnp.full((1, THW), -1, jnp.int32),
+                     tuple(jnp.zeros((1, THW), jnp.float32)
+                           for _ in range(4)),
+                     jnp.ones((1, THW), jnp.float32))
+        else:
+            dblk = depth_in_ref[pl.ds(boff, tile_h),
+                                r * tile_w:(r + 1) * tile_w]
+            carry = tuple(
+                (dblk[:, sb * SW:(sb + 1) * SW].reshape(1, THWS),
+                 jnp.full((1, THWS), -1, jnp.int32),
+                 tuple(jnp.zeros((1, THWS), jnp.float32)
                        for _ in range(4)),
-                 jnp.ones((1, THW), jnp.float32))
+                 jnp.ones((1, THWS), jnp.float32))
+                for sb in range(SB))
         carry = lax.fori_loop(0, nblk, block_body, carry)
 
         # epilogue: prefetch the first window of the next tile IN
@@ -679,8 +811,9 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
 
         @pl.when(jnp.logical_not(last))
         def _():
-            nstart = starts_ref[t_next]
-            nn = counts_ref[t_next]
+            nstart = starts_ref[t_next * SB]
+            nn = (starts_ref[t_next * SB + SB - 1]
+                  + counts_ref[t_next * SB + SB - 1]) - nstart
             nblk0 = lax.div(nstart, W)
             # always re-transfer, even when the next tile's first
             # window is the one just used: the next tile WILL wait on
@@ -689,24 +822,49 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             def _():
                 window_dma(nblk0, lax.rem(nblk0, 2)).start()
 
-        # big triangles after binned ones (order-free: id tie-break)
+        # big triangles after binned ones (order-free: id tie-break).
+        # SB > 1: each big row evaluates against ALL subtiles (same
+        # total lanes as the SB=1 full-tile eval, SB smaller passes).
         def big_chunk(ci, carry, nbig=nbig, eval_block=eval_block):
             sub = big_ref[0, pl.ds(ci * G, G), :]
             slot = r_iota + ci * G
-            return eval_block(sub, 0, slot < nbig, carry)
+            live = slot < nbig
+            if SB == 1:
+                return eval_block(sub, 0, live, carry)
+            return tuple(
+                eval_block(sub, 0, live, carry[sb],
+                           px=px_sub0 + jnp.float32(sb * SW),
+                           py=py_sub)
+                for sb in range(SB))
 
-        depth, winner, nums, den = lax.fori_loop(
-            0, lax.div(nbig + G - 1, G), big_chunk, carry)
+        carry = lax.fori_loop(0, lax.div(nbig + G - 1, G), big_chunk,
+                              carry)
 
         # fused f32 out lanes: [0]=depth, [1]=den, [2:6]=varying nums
+        if SB == 1:
+            depth, winner, nums, den = carry
+            fused_tile = jnp.concatenate(
+                [depth.reshape(1, tile_h, tile_w),
+                 den.reshape(1, tile_h, tile_w)]
+                + [nc.reshape(1, tile_h, tile_w) for nc in nums], axis=0)
+            winner_tile = winner.reshape(tile_h, tile_w)
+        else:
+            # reassemble (tile_h, tile_w) from SB per-subtile (1, THWS)
+            # lane blocks: lane-axis concat of (tile_h, SW) reshapes
+            def tile_of(parts):
+                return jnp.concatenate(
+                    [p.reshape(tile_h, SW) for p in parts], axis=1)
+
+            fused_tile = jnp.concatenate(
+                [tile_of([carry[sb][0] for sb in range(SB)])[None],
+                 tile_of([carry[sb][3] for sb in range(SB)])[None]]
+                + [tile_of([carry[sb][2][ch] for sb in range(SB)])[None]
+                   for ch in range(4)], axis=0)
+            winner_tile = tile_of([carry[sb][1] for sb in range(SB)])
         fused_ref[:, pl.ds(boff, tile_h),
-                  r * tile_w:(r + 1) * tile_w] = jnp.concatenate(
-            [depth.reshape(1, tile_h, tile_w),
-             den.reshape(1, tile_h, tile_w)]
-            + [nc.reshape(1, tile_h, tile_w) for nc in nums], axis=0)
+                  r * tile_w:(r + 1) * tile_w] = fused_tile
         winner_ref[pl.ds(boff, tile_h),
-                   r * tile_w:(r + 1) * tile_w] = winner.reshape(
-            tile_h, tile_w)
+                   r * tile_w:(r + 1) * tile_w] = winner_tile
 
     for r in range(R):
         tx = txg * R + r
@@ -784,6 +942,11 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
         raise ValueError(f"stream_window ({W}) must be a multiple of "
                          f"chunk ({chunk}) and of 8 (DMA sublane "
                          "alignment of the stream)")
+    if cfg.subtiles not in (1, 2, 4) or cfg.tile_w % cfg.subtiles:
+        raise ValueError(f"subtiles ({cfg.subtiles}) must be 1, 2 or 4 "
+                         f"and divide tile_w ({cfg.tile_w})")
+    if cfg.subtiles > 1 and (cfg.bands > 1 or cfg.tiles_x > 1):
+        raise ValueError("subtiles > 1 requires bands == tiles_x == 1")
     # bands: fine tiles per program along y (fori-looped in-kernel).
     # The fine-tile grid pads up to a whole number of programs; binning
     # runs on the padded grid so CSR indices and the kernel agree.
@@ -806,7 +969,7 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
     kernel = functools.partial(_raster_kernel, tile_h=cfg.tile_h,
                                tile_w=cfg.tile_w,
                                chunk=chunk, window=W, tiles_x=R,
-                               ntx=ntx, bands=BD)
+                               ntx=ntx, bands=BD, subtiles=cfg.subtiles)
     tile_spec = pl.BlockSpec((BD * cfg.tile_h, R * cfg.tile_w),
                              lambda ty, tx: (ty, tx),
                              memory_space=pltpu.VMEM)

@@ -443,3 +443,59 @@ def test_banded_kernel_matches_single_band():
             np.testing.assert_array_equal(np.asarray(w1), np.asarray(w))
             np.testing.assert_array_equal(np.asarray(d1), np.asarray(d))
             np.testing.assert_array_equal(np.asarray(n1), np.asarray(n))
+
+
+def test_subtile_rendering_matches_full_tile():
+    """subtiles=SB>1 bins at tile_w/SB-px column granularity and each
+    stream row evaluates only its own subtile's (tile_h, tile_w/SB)
+    pixels; winners, depth, and the interpolated varying planes must be
+    bit-identical to the SB=1 full-tile eval AND decision-identical to
+    the oracle (the per-subtile winner resolve and the MXU plane
+    recovery are exact — one winning row per (subtile, pixel))."""
+    import dataclasses
+
+    for H, W in ((48, 384), (40, 130)):   # incl. padded partial tiles
+        clip, vary = random_triangles(120, seed=57)
+        valid = jnp.ones(120, bool)
+        tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+        d_ref, w_ref = rr.rasterize_visibility(tc, H, W)
+        d1, w1, n1, e1, o1 = rp.rasterize(tc, H, W, tri_clip=clip,
+                                          cfg=CFG)
+        for sb in (2, 4):
+            cfg = dataclasses.replace(CFG, subtiles=sb,
+                                      max_tiles_per_tri=16,
+                                      auto_span=False)
+            d, w, n, e, o = rp.rasterize(tc, H, W, tri_clip=clip,
+                                         cfg=cfg)
+            assert not bool(np.asarray(o).any())
+            np.testing.assert_array_equal(np.asarray(w_ref),
+                                          np.asarray(w))
+            np.testing.assert_array_equal(np.asarray(w1), np.asarray(w))
+            np.testing.assert_array_equal(np.asarray(d1), np.asarray(d))
+            np.testing.assert_array_equal(np.asarray(n1), np.asarray(n))
+            np.testing.assert_array_equal(np.asarray(e1), np.asarray(e))
+
+
+def test_subtile_band_rendering_matches_full_frame():
+    """subtiles>1 composed with the multi-chip row-band path (y0 /
+    vp_height): a band render must be bit-identical to the same rows of
+    the full frame (binning and the kernel both run in global pixel
+    coordinates)."""
+    H, W = 64, 256
+    clip, vary = random_triangles(60, seed=77)
+    valid = jnp.ones(60, bool)
+    tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+    import dataclasses
+    cfg = dataclasses.replace(CFG, subtiles=4, max_tiles_per_tri=16,
+                              auto_span=False)
+    d_f, w_f, n_f, e_f, _ = rp.rasterize(tc, H, W, tri_clip=clip,
+                                         cfg=cfg)
+    bh, y0 = 32, 16
+    d_b, w_b, n_b, e_b, _ = rp.rasterize(tc, bh, W, tri_clip=clip,
+                                         cfg=cfg, y0=y0, vp_height=H)
+    np.testing.assert_array_equal(np.asarray(w_f)[y0:y0 + bh],
+                                  np.asarray(w_b))
+    np.testing.assert_array_equal(np.asarray(d_f)[y0:y0 + bh],
+                                  np.asarray(d_b))
+    np.testing.assert_array_equal(np.asarray(n_f)[:, y0:y0 + bh],
+                                  np.asarray(n_b))
