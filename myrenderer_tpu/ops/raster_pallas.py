@@ -106,19 +106,27 @@ class RasterConfig:
     auto_span: bool = True        # scale the span budget with the tile
                                   # grid (see _span_budget); False pins
                                   # it to max_tiles_per_tri exactly
-    subtiles: int = 1             # lane-group raster granularity: bin
-                                  # and evaluate at tile_w/subtiles-px
-                                  # columns (1, 2 or 4). Each stream row
-                                  # evaluates ONLY its own subtile's
-                                  # (tile_h, tile_w/subtiles) pixels —
-                                  # the lever against sub-tile-sized
-                                  # triangles wasting most of a
-                                  # (tile_h, 128) tile's lanes (the
-                                  # demo median triangle covers ~10% of
-                                  # an 8x128 tile; the stretch median
-                                  # ~2 px). Kernel out blocks stay
-                                  # (tile_h, tile_w); only binning and
-                                  # in-kernel eval shapes change.
+    subtiles: int = 1             # strip raster granularity: bin and
+                                  # evaluate at tile_h/subtiles-px
+                                  # full-width ROW strips (1/2/4/8).
+                                  # Each stream entry evaluates ONLY
+                                  # its own strip's (tile_h/SB, tile_w)
+                                  # pixels — the lever against
+                                  # sub-tile-sized triangles wasting
+                                  # most of a tile's lanes (the demo
+                                  # median triangle covers ~10% of an
+                                  # 8x128 tile; the stretch median
+                                  # ~2 px) AND against per-program
+                                  # fixed costs (strips give tile_h=8
+                                  # eval granularity inside tile_h=32
+                                  # programs). Row strips, not columns:
+                                  # the native y-major flattening makes
+                                  # a strip a lane-contiguous slice
+                                  # (column slices need sub-128-lane
+                                  # reshapes Mosaic rejects). Kernel
+                                  # out blocks stay (tile_h, tile_w);
+                                  # only binning and in-kernel eval
+                                  # shapes change.
     interpret: bool = False      # Pallas interpreter (CPU testing)
 
 
@@ -230,25 +238,33 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     vp_height = height if vp_height is None else vp_height
     y0 = jnp.asarray(y0, jnp.float32)
     SB = cfg.subtiles
+    lg = SB.bit_length() - 1            # SB is a power of two
     nty = _cdiv(height, cfg.tile_h)
-    ntx_t = _cdiv(width, cfg.tile_w)    # tile columns (kernel grid)
-    tw_bin = cfg.tile_w // SB           # bin-column width in px
-    ntx = ntx_t * SB                    # BIN columns (subtile grid):
-    NT = nty * ntx                      # subtile-minor, so a tile's SB
-                                        # segments are consecutive
+    ntx = _cdiv(width, cfg.tile_w)      # tile columns (= kernel grid)
+    th_bin = cfg.tile_h // SB           # bin-row height in px
+    NT = nty * ntx * SB                 # bins: SB row strips per tile,
+                                        # subtile-minor order (a tile's
+                                        # SB segments are consecutive)
     B, _chunk = _big_geometry(cfg)
     W = cfg.stream_window
     T = valid.shape[0]
+
+    def bin_of(fy, tx):
+        """Global bin id of (fine row ``fy``, tile column ``tx``):
+        (tile row, tile col, strip)-major — a tile's SB strips are
+        consecutive, so the kernel streams one contiguous range per
+        tile. SB is a power of two: the decode is shift/mask."""
+        return ((fy >> lg) * ntx + tx) * SB + (fy & (SB - 1))
 
     minx = jnp.clip(jnp.floor(bbox[0]), 0, width - 1)
     maxx = jnp.clip(jnp.ceil(bbox[1]), 0, width - 1)
     miny = jnp.clip(jnp.floor(bbox[2]) - y0, 0, height - 1)
     maxy = jnp.clip(jnp.ceil(bbox[3]) - y0, 0, height - 1)
 
-    tx0 = (minx / tw_bin).astype(jnp.int32)
-    tx1 = (maxx / tw_bin).astype(jnp.int32)
-    ty0 = (miny / cfg.tile_h).astype(jnp.int32)
-    ty1 = (maxy / cfg.tile_h).astype(jnp.int32)
+    tx0 = (minx / cfg.tile_w).astype(jnp.int32)
+    tx1 = (maxx / cfg.tile_w).astype(jnp.int32)
+    ty0 = (miny / th_bin).astype(jnp.int32)      # FINE rows
+    ty1 = (maxy / th_bin).astype(jnp.int32)
     sx = tx1 - tx0 + 1
     sy = ty1 - ty0 + 1
     span = sx * sy                                     # [T]
@@ -282,12 +298,12 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     overflow_c = jnp.zeros((), bool)
     c = _cdiv(max(min(T, 2**14), (T // 8) * cfg.big_scale), 128) * 128
     if K >= 3 and c <= T // 4:
-        tile0 = ty0 * ntx + tx0
+        tile0 = bin_of(ty0, tx0)
         parts_tile = [jnp.where(small, tile0, NT)]
         parts_tri = [tri_idx]
         # slot 1: (tx0+1, ty0) when the bbox is >= 2 tiles wide, else
-        # (tx0, ty0+1) — row-major rank 1 of the rect
-        tile_b = tile0 + jnp.where(sx >= 2, 1, ntx)
+        # (tx0, ty0+1) — row-major rank 1 of the (fine-row x col) rect
+        tile_b = jnp.where(sx >= 2, tile0 + SB, bin_of(ty0 + 1, tx0))
         parts_tile.append(jnp.where(small & (span >= 2), tile_b, NT))
         parts_tri.append(tri_idx)
         # compact span>=3 triangles: their (ty0, tx0, sx, span) rows
@@ -311,7 +327,7 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
         eK = jnp.arange(2, K, dtype=jnp.int32)[:, None]    # [K-2, 1]
         ey = eK // csx                                     # [K-2, c]
         ex = eK - ey * csx
-        ctile = (cty0 + ey) * ntx + (ctx0 + ex)
+        ctile = bin_of(cty0 + ey, ctx0 + ex)
         c_ok = c_live[None, :] & (eK < cspan)
         parts_tile.append(jnp.where(c_ok, ctile, NT).reshape(-1))
         parts_tri.append(jnp.broadcast_to(csel[None, :],
@@ -324,7 +340,7 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
         eK = jnp.arange(K, dtype=jnp.int32)[:, None]   # [K, 1]
         ey = eK // sxr[None, :]                        # [K, T]
         ex = eK - ey * sxr[None, :]
-        tile = (ty0[None, :] + ey) * ntx + (tx0[None, :] + ex)
+        tile = bin_of(ty0[None, :] + ey, tx0[None, :] + ex)
         live = small[None, :] & (eK < span[None, :])
         parts_tile = [jnp.where(live, tile, NT).reshape(-1)]
         parts_tri = [jnp.broadcast_to(tri_idx[None, :],
@@ -382,7 +398,7 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
         jnp.pad(packed, ((0, 0), (0, 128 - LANES))))
 
     def group_space(rows: int) -> int:
-        return (rows * ntx + 1) * (T + 1)
+        return (rows * ntx * SB + 1) * (T + 1)
 
     F = 1
     while F < min(nty, 32) and group_space(_cdiv(nty, F)) >= 2**32:
@@ -399,8 +415,8 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
         Sg = _cdiv(_cdiv(S_total, F), W) * W     # capacity per group
         starts_l, counts_l, streams, live_l = [], [], [], []
         for g in range(F):
-            base = g * rpg * ntx
-            ntg = min(rpg, nty - g * rpg) * ntx
+            base = g * rpg * ntx * SB
+            ntg = min(rpg, nty - g * rpg) * ntx * SB
             if ntg <= 0:     # ceil split: only trailing groups can be
                 break        # empty; they own no tiles and no stream
             in_g = (tile_flat >= base) & (tile_flat < base + ntg)
@@ -497,14 +513,14 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     # the big loop entirely on untouched tiles
     slotv = jnp.arange(B, dtype=jnp.int32)
     big_live = slotv < big_count                       # [B]
-    btx0, btx1 = tx0[big_ids] // SB, tx1[big_ids] // SB
-    bty0, bty1 = ty0[big_ids], ty1[big_ids]
-    tile_range_t = jnp.arange(nty * ntx_t, dtype=jnp.int32)
-    t_y = tile_range_t // ntx_t
-    t_x = tile_range_t % ntx_t
+    btx0, btx1 = tx0[big_ids], tx1[big_ids]
+    bty0, bty1 = ty0[big_ids] >> lg, ty1[big_ids] >> lg   # tile rows
+    tile_range_t = jnp.arange(nty * ntx, dtype=jnp.int32)
+    t_y = tile_range_t // ntx
+    t_x = tile_range_t % ntx
     hit = ((t_x[:, None] >= btx0[None, :]) & (t_x[:, None] <= btx1[None, :])
            & (t_y[:, None] >= bty0[None, :]) & (t_y[:, None] <= bty1[None, :])
-           & big_live[None, :])                        # [nty*ntx_t, B]
+           & big_live[None, :])                        # [nty*ntx, B]
     big_touch = hit.any(axis=1).astype(jnp.int32)
 
     return stream, starts, counts, big_rows, big_count[None], \
@@ -540,19 +556,24 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
     (G, THW) outer-product FMAs with a min-reduce depth resolve
     (lowest-id tie-break == submission-order 'less' semantics).
 
-    With ``subtiles`` = SB > 1, binning ran on an SB-x-finer column grid
-    (tile_w/SB-px subtile columns, subtile-minor order — a tile's SB
-    CSR segments are CONSECUTIVE in the stream, so the window DMA
+    With ``subtiles`` = SB > 1, binning ran on an SB-x-finer ROW grid
+    (tile_h/SB-px full-width row strips, strip-minor order — a tile's
+    SB CSR segments are CONSECUTIVE in the stream, so the window DMA
     machinery is untouched) and each stream row evaluates ONLY its own
-    subtile's (tile_h, tile_w/SB) pixels: the per-entry eval cost drops
-    SBx for triangles smaller than a tile. Each row's subtile comes
-    from its stream position vs the SB-1 interior CSR bounds; winner
-    resolution is per-subtile via masked reduces and exact select
-    chains, and the winner's varying planes are recovered with an
-    at-most-one-nonzero-per-output matmul on the (otherwise idle) MXU —
-    exactly ONE row wins per (subtile, pixel), so any reduction
-    order/precision reproduces the winning row's f32 plane value
-    exactly. Big-list triangles evaluate against all SB subtiles
+    strip's (tile_h/SB, tile_w) pixels: the per-entry eval cost drops
+    SBx for triangles shorter than a tile. Row strips (not column
+    slices) because the native (tile_h, tile_w) -> (1, THW) flattening
+    is y-major: a strip is a lane-contiguous, vreg-aligned range of the
+    flat vector, so strip extract/reassemble are supported lane
+    slices/concats (a column slice needs a 64-lane reshape Mosaic
+    rejects: "infer-vector-layout: unsupported shape cast"). Each
+    entry's strip comes from its stream position vs the SB-1 interior
+    CSR bounds; winner resolution is per-strip via masked reduces and
+    exact select chains, and the winner's varying planes are recovered
+    with an at-most-one-nonzero-per-output matmul on the (otherwise
+    idle) MXU — exactly ONE row wins per (strip, pixel), so any
+    reduction order/precision reproduces the winning row's f32 plane
+    value exactly. Big-list triangles evaluate against all SB strips
     (same total lanes as the SB=1 full-tile eval)."""
     THW = tile_h * tile_w
     G = chunk
@@ -560,8 +581,8 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
     R = tiles_x
     B = bands
     SB = subtiles
-    SW = tile_w // SB
-    THWS = tile_h * SW
+    RH = tile_h // SB             # strip height in px
+    THWS = RH * tile_w
     ty_c = pl.program_id(0)
     txg = pl.program_id(1)
     nty_c = pl.num_programs(0)
@@ -584,14 +605,15 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
         py_full = ((flat // tile_w) + fy * tile_h + y0_ref[0]).astype(
             jnp.float32) + 0.5
         if SB > 1:
-            # subtile pixel grids: per-subtile flat index = y*SW + xl
-            # (y-major within the subtile); a row's px adds its own
-            # subtile's x offset
+            # strip pixel grids: per-strip flat index = y_local*tile_w
+            # + x (the native y-major order); an entry's py adds its
+            # own strip's row offset (strip sb covers tile rows
+            # [sb*RH, (sb+1)*RH))
             flat_s = lax.broadcasted_iota(jnp.int32, (1, THWS), 1)
-            px_sub0 = ((flat_s % SW) + tx * tile_w).astype(
+            px_sub = ((flat_s % tile_w) + tx * tile_w).astype(
                 jnp.float32) + 0.5
-            py_sub = ((flat_s // SW) + fy * tile_h
-                      + y0_ref[0]).astype(jnp.float32) + 0.5
+            py_sub0 = ((flat_s // tile_w) + fy * tile_h
+                       + y0_ref[0]).astype(jnp.float32) + 0.5
 
         # CSR bins are at SUBTILE granularity (subtile-minor order):
         # the tile's SB consecutive segments stream as one range
@@ -658,10 +680,10 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                     jnp.where(win, den_c, den))
 
         def eval_block_sub(sub, live, sb_r, carry):
-            """Subtile-granularity binned eval (SB > 1): each row
-            evaluates ONLY its own subtile's (tile_h, SW) pixels.
-            ``sb_r`` (g, 1) i32 = each row's subtile; ``carry`` is a
-            tuple of SB per-subtile (depth, winner, nums, den) tuples,
+            """Strip-granularity binned eval (SB > 1): each entry
+            evaluates ONLY its own strip's (RH, tile_w) pixels.
+            ``sb_r`` (g, 1) i32 = each entry's strip; ``carry`` is a
+            tuple of SB per-strip (depth, winner, nums, den) tuples,
             each over (1, THWS) lanes."""
             g = sub.shape[0]
 
@@ -669,9 +691,9 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                 return sub[:, k:k + 1]
 
             scalars = tuple(lane(k) for k in range(rc.COEFF_LANES))
-            # row r's pixels: its own subtile's x-range
-            pxr = px_sub0 + (sb_r * SW).astype(jnp.float32)  # (g, THWS)
-            cov, z = rc.coverage_depth(scalars, pxr, py_sub)
+            # entry r's pixels: its own strip's y-range
+            pyr = py_sub0 + (sb_r * RH).astype(jnp.float32)  # (g, THWS)
+            cov, z = rc.coverage_depth(scalars, px_sub, pyr)
             cov = cov & live
             zm = jnp.where(cov, z, jnp.float32(jnp.inf))
             ids = jnp.broadcast_to(lane(16), zm.shape)
@@ -709,7 +731,7 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                   ).astype(jnp.float32)                    # (g, SB)
 
             def plane_sb(ka, kb, kc):
-                val = lane(ka) * pxr + lane(kb) * py_sub + lane(kc)
+                val = lane(ka) * px_sub + lane(kb) * pyr + lane(kc)
                 return lax.dot_general(
                     MT, wf * val, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)    # (SB, THWS)
@@ -786,10 +808,14 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                            for _ in range(4)),
                      jnp.ones((1, THW), jnp.float32))
         else:
-            dblk = depth_in_ref[pl.ds(boff, tile_h),
-                                r * tile_w:(r + 1) * tile_w]
+            # strip sb of the depth block = lanes [sb*THWS, (sb+1)*THWS)
+            # of the native y-major flattening — a supported, vreg-
+            # aligned lane slice (no sub-128-lane reshape)
+            dflat = depth_in_ref[pl.ds(boff, tile_h),
+                                 r * tile_w:(r + 1) * tile_w].reshape(
+                1, THW)
             carry = tuple(
-                (dblk[:, sb * SW:(sb + 1) * SW].reshape(1, THWS),
+                (dflat[:, sb * THWS:(sb + 1) * THWS],
                  jnp.full((1, THWS), -1, jnp.int32),
                  tuple(jnp.zeros((1, THWS), jnp.float32)
                        for _ in range(4)),
@@ -823,7 +849,7 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                 window_dma(nblk0, lax.rem(nblk0, 2)).start()
 
         # big triangles after binned ones (order-free: id tie-break).
-        # SB > 1: each big row evaluates against ALL subtiles (same
+        # SB > 1: each big row evaluates against ALL strips (same
         # total lanes as the SB=1 full-tile eval, SB smaller passes).
         def big_chunk(ci, carry, nbig=nbig, eval_block=eval_block):
             sub = big_ref[0, pl.ds(ci * G, G), :]
@@ -833,8 +859,8 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                 return eval_block(sub, 0, live, carry)
             return tuple(
                 eval_block(sub, 0, live, carry[sb],
-                           px=px_sub0 + jnp.float32(sb * SW),
-                           py=py_sub)
+                           px=px_sub,
+                           py=py_sub0 + jnp.float32(sb * RH))
                 for sb in range(SB))
 
         carry = lax.fori_loop(0, lax.div(nbig + G - 1, G), big_chunk,
@@ -849,11 +875,12 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                 + [nc.reshape(1, tile_h, tile_w) for nc in nums], axis=0)
             winner_tile = winner.reshape(tile_h, tile_w)
         else:
-            # reassemble (tile_h, tile_w) from SB per-subtile (1, THWS)
-            # lane blocks: lane-axis concat of (tile_h, SW) reshapes
+            # reassemble (tile_h, tile_w) from SB per-strip (1, THWS)
+            # lane blocks: lane-axis concat back to the native y-major
+            # flat vector, then ONE supported full-block reshape
             def tile_of(parts):
-                return jnp.concatenate(
-                    [p.reshape(tile_h, SW) for p in parts], axis=1)
+                return jnp.concatenate(parts, axis=1).reshape(
+                    tile_h, tile_w)
 
             fused_tile = jnp.concatenate(
                 [tile_of([carry[sb][0] for sb in range(SB)])[None],
@@ -942,9 +969,9 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
         raise ValueError(f"stream_window ({W}) must be a multiple of "
                          f"chunk ({chunk}) and of 8 (DMA sublane "
                          "alignment of the stream)")
-    if cfg.subtiles not in (1, 2, 4) or cfg.tile_w % cfg.subtiles:
-        raise ValueError(f"subtiles ({cfg.subtiles}) must be 1, 2 or 4 "
-                         f"and divide tile_w ({cfg.tile_w})")
+    if cfg.subtiles not in (1, 2, 4, 8) or cfg.tile_h % cfg.subtiles:
+        raise ValueError(f"subtiles ({cfg.subtiles}) must be 1, 2, 4 or "
+                         f"8 and divide tile_h ({cfg.tile_h})")
     if cfg.subtiles > 1 and (cfg.bands > 1 or cfg.tiles_x > 1):
         raise ValueError("subtiles > 1 requires bands == tiles_x == 1")
     # bands: fine tiles per program along y (fori-looped in-kernel).

@@ -45,6 +45,12 @@ def random_triangles(n, seed):
 def check_parity():
     H, W = 96, 256
     ok = True
+    sub_cfg = rp.RasterConfig(tile_h=8, tile_w=128, subtiles=4,
+                              max_tiles_per_tri=16, auto_span=False,
+                              big_scale=4)   # 4x strips inflate spans:
+    # at T=512 over a 96x256 vp hundreds of random tris exceed the
+    # pinned budget and route big — 256 slots overflowed (dropping
+    # tris, by design), so give the check 1024
     for n, seed in [(16, 0), (128, 1), (512, 2)]:
         clip, vary = random_triangles(n, seed)
         valid = jnp.ones(n, bool)
@@ -59,6 +65,18 @@ def check_parity():
         print(f"parity T={n}: winner diffs={wd} depth ulps={ulps} "
               f"overflow={np.asarray(ovf).tolist()}")
         ok &= wd == 0 and not np.asarray(ovf).any()
+        # row-strip kernel (subtiles=4): winners AND depth must match
+        # the SB=1 kernel bit-exactly on hardware too
+        d_s, w_s, _n, _d, ovf_s = jax.jit(
+            lambda tc, c: rp.rasterize(tc, H, W, tri_clip=c,
+                                       cfg=sub_cfg))(tc, clip)
+        wds = int((np.asarray(w_p) != np.asarray(w_s)).sum())
+        ulps_s = int(np.abs(np.asarray(d_p).view(np.int32)
+                            - np.asarray(d_s).view(np.int32)).max())
+        print(f"  subtiles=4 vs SB=1: winner diffs={wds} "
+              f"depth ulps={ulps_s} "
+              f"overflow={np.asarray(ovf_s).tolist()}")
+        ok &= wds == 0 and ulps_s == 0 and not np.asarray(ovf_s).any()
     return ok
 
 
