@@ -446,12 +446,13 @@ def test_banded_kernel_matches_single_band():
 
 
 def test_subtile_rendering_matches_full_tile():
-    """subtiles=SB>1 bins at tile_w/SB-px column granularity and each
-    stream row evaluates only its own subtile's (tile_h, tile_w/SB)
-    pixels; winners, depth, and the interpolated varying planes must be
-    bit-identical to the SB=1 full-tile eval AND decision-identical to
-    the oracle (the per-subtile winner resolve and the MXU plane
-    recovery are exact — one winning row per (subtile, pixel))."""
+    """subtiles=SB>1 bins at tile_h/SB-px full-width ROW-STRIP
+    granularity and each stream entry evaluates only its own strip's
+    (tile_h/SB, tile_w) pixels; winners, depth, and the interpolated
+    varying planes must be bit-identical to the SB=1 full-tile eval AND
+    decision-identical to the oracle (the per-strip winner resolve and
+    the MXU plane recovery are exact — one winning row per (strip,
+    pixel))."""
     import dataclasses
 
     for H, W in ((48, 384), (40, 130)):   # incl. padded partial tiles
@@ -461,7 +462,7 @@ def test_subtile_rendering_matches_full_tile():
         d_ref, w_ref = rr.rasterize_visibility(tc, H, W)
         d1, w1, n1, e1, o1 = rp.rasterize(tc, H, W, tri_clip=clip,
                                           cfg=CFG)
-        for sb in (2, 4):
+        for sb in (2, 4, 8):   # sb=8 -> 1-px strips (tile_h=8)
             cfg = dataclasses.replace(CFG, subtiles=sb,
                                       max_tiles_per_tri=16,
                                       auto_span=False)
