@@ -137,9 +137,10 @@ def main(argv=None):
                     help="write every frame as frame_%%04d.png")
     ap.add_argument("--raster", default=None,
                     help="RasterConfig override 'th,tw,chunk,window"
-                         "[,tiles_x[,span_budget[,bands[,subtiles]]]]' "
-                         "(kernel tuning sweeps; span_budget 0 keeps "
-                         "auto)")
+                         "[,tiles_x[,span_budget[,bands[,subtiles"
+                         "[,sf10]]]]]' (kernel tuning sweeps; "
+                         "span_budget 0 keeps auto; sf10 = "
+                         "stream_factor in tenths, e.g. 15 -> 1.5)")
     args = ap.parse_args(argv)
 
     raster = None
@@ -159,7 +160,9 @@ def main(argv=None):
                               **({"bands": vals[6]}
                                  if len(vals) > 6 else {}),
                               **({"subtiles": vals[7]}
-                                 if len(vals) > 7 else {}))
+                                 if len(vals) > 7 else {}),
+                              **({"stream_factor": vals[8] / 10.0}
+                                 if len(vals) > 8 else {}))
     w, h = (int(v) for v in args.size.split("x"))
     app = DemoApp(width=w, height=h, heightmap=args.heightmap,
                   backend=args.backend, raster=raster)

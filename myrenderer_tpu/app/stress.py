@@ -136,9 +136,10 @@ def main(argv=None):
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--raster", default=None,
                     help="RasterConfig override 'th,tw,chunk,window"
-                         "[,tiles_x[,span_budget[,bands[,subtiles]]]]' "
-                         "(kernel tuning sweeps; span_budget 0 keeps "
-                         "auto)")
+                         "[,tiles_x[,span_budget[,bands[,subtiles"
+                         "[,sf10]]]]]' (kernel tuning sweeps; "
+                         "span_budget 0 keeps auto; sf10 = "
+                         "stream_factor in tenths, e.g. 15 -> 1.5)")
     args = ap.parse_args(argv)
 
     raster = None
@@ -155,7 +156,9 @@ def main(argv=None):
                               **({"bands": vals[6]}
                                  if len(vals) > 6 else {}),
                               **({"subtiles": vals[7]}
-                                 if len(vals) > 7 else {}))
+                                 if len(vals) > 7 else {}),
+                              **({"stream_factor": vals[8] / 10.0}
+                                 if len(vals) > 8 else {}))
 
     import jax
     w, h = (int(v) for v in args.size.split("x"))

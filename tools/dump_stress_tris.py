@@ -55,8 +55,21 @@ def main():
     world = vstage.compose_world_transforms(fargs["locals"], plan.levels,
                                             plan.parents)
     products = drawmod._batch_vertex_products(plan, fargs, world)
+    from myrenderer_tpu.ops.raster_common import PlanarTris
+
+    def interleave(tri_clip, tri_vary):
+        """PlanarTris (tuples of flat [T] planes) -> [T, 3, 4] arrays
+        (the npz format kbench --load consumes)."""
+        clip = jnp.stack([jnp.stack(c, axis=-1) for c in tri_clip.clip],
+                         axis=1)
+        vary = jnp.stack([jnp.stack(c, axis=-1) for c in tri_clip.vary],
+                         axis=1)
+        return clip, vary
+
     clips, varys, valids = [], [], []
     for _s, _b, tri_clip, tri_vary, valid in products:
+        if isinstance(tri_clip, PlanarTris):
+            tri_clip, tri_vary = interleave(tri_clip, tri_vary)
         clips.append(tri_clip)
         varys.append(tri_vary)
         valids.append(jnp.broadcast_to(valid, tri_clip.shape[:1]))
