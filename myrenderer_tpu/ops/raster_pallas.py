@@ -382,6 +382,14 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
                             W),
                       _cdiv(min(NC, 2**17), W), 1),
                   _cdiv(NC, W)) * W
+    # test hook: pin the stream capacity (scaled by the adaptive
+    # big_scale so the overflow -> bump -> re-render ladder can
+    # recover) — the min(NC, 2**17) floor above makes real small
+    # scenes structurally overflow-free, so the e2e bump path needs
+    # a starved capacity injected
+    _rows = globals().get("_FORCE_STREAM_ROWS")
+    if _rows:
+        S_total = _cdiv(_rows * cfg.big_scale, W) * W
 
     # pre-gather the stream: coefficient rows in bin order, in whole DMA
     # windows, one entry per 128-lane stream row (Mosaic requires manual

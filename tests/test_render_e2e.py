@@ -305,6 +305,67 @@ def test_late_big_list_overflow_triggers_rebuild():
     np.testing.assert_array_equal(fb6, ref)
 
 
+def test_stream_overflow_triggers_rebuild():
+    """Stream-capacity overflow (live incidences > stream_factor *
+    big_scale * T) must bump capacity through the same adaptive ladder
+    as big-list overflow and publish a correct frame — triangles whose
+    incidences fell off the clamped stream tail must appear after the
+    bump. Overflows on the first frame, inside the synchronous check
+    window, so the very first published frame is already correct."""
+    from myrenderer_tpu.ops.raster_pallas import RasterConfig
+
+    # 12 tall thin triangles, each spanning all 8 tile rows of a 64px
+    # frame: 96 live incidences against a starved 64-row stream (the
+    # _FORCE_STREAM_ROWS hook; real small scenes get a min(NC, 2**17)
+    # capacity floor and cannot overflow)
+    import myrenderer_tpu.ops.raster_pallas as rp_mod
+    cfg = RasterConfig(tile_h=8, tile_w=128, max_tiles_per_tri=8,
+                       auto_span=False, stream_factor=0.5,
+                       stream_window=64, chunk=8, interpret=True)
+    rp_mod._FORCE_STREAM_ROWS = 64
+    try:
+        rend, window = make_renderer(64, 64, backend="pallas")
+        rend.raster_cfg = cfg
+        pipe, layout = flat_pipeline(rend)
+        pts = []
+        for i in range(12):
+            x = 0.02 + 0.08 * i
+            pts += [(x, 0.02), (x + 0.05, 0.02), (x, 0.98)]
+        node = triangle_node(rend, pipe, layout, pts)
+        surf = Surface.create_window_scene(rend, window, node)
+        surf.set_perspective(ortho_unit())
+        draw = Draw.create(rend)
+
+        draw.begin()
+        draw.clear((0, 0, 1, 1))
+        draw.draw_surface(surf)
+        fb = np.asarray(draw.end())
+        assert draw._big_scale > 1, \
+            "stream overflow never bumped capacity"
+        assert not np.asarray(draw.last_overflow).any()
+
+        # every triangle column is visible (red fragments at its base)
+        red = (fb[..., 0] > 0.9) & (fb[..., 2] < 0.1)
+        for i in range(12):
+            x0 = int((0.02 + 0.08 * i) * 64)
+            assert red[2:5, x0:x0 + 3].any(), f"triangle {i} dropped"
+    finally:
+        rp_mod._FORCE_STREAM_ROWS = None
+
+    # and the frame matches the oracle on the same scene
+    rend_o, window_o = make_renderer(64, 64, backend="oracle")
+    pipe_o, layout_o = flat_pipeline(rend_o)
+    node_o = triangle_node(rend_o, pipe_o, layout_o, pts)
+    surf_o = Surface.create_window_scene(rend_o, window_o, node_o)
+    surf_o.set_perspective(ortho_unit())
+    draw_o = Draw.create(rend_o)
+    draw_o.begin()
+    draw_o.clear((0, 0, 1, 1))
+    draw_o.draw_surface(surf_o)
+    ref = np.asarray(draw_o.end())
+    np.testing.assert_array_equal(fb, ref)
+
+
 def test_frame_program_cache_reuse():
     rend, window = make_renderer()
     pipe, layout = flat_pipeline(rend)
