@@ -138,9 +138,10 @@ def main(argv=None):
     ap.add_argument("--raster", default=None,
                     help="RasterConfig override 'th,tw,chunk,window"
                          "[,tiles_x[,span_budget[,bands[,subtiles"
-                         "[,sf10]]]]]' (kernel tuning sweeps; "
+                         "[,sf10[,ps]]]]]]' (kernel tuning sweeps; "
                          "span_budget 0 keeps auto; sf10 = "
-                         "stream_factor in tenths, e.g. 15 -> 1.5)")
+                         "stream_factor in tenths, e.g. 15 -> 1.5; "
+                         "ps = packed_stream 0/1)")
     args = ap.parse_args(argv)
 
     raster = None
@@ -162,7 +163,9 @@ def main(argv=None):
                               **({"subtiles": vals[7]}
                                  if len(vals) > 7 else {}),
                               **({"stream_factor": vals[8] / 10.0}
-                                 if len(vals) > 8 else {}))
+                                 if len(vals) > 8 and vals[8] else {}),
+                              **({"packed_stream": bool(vals[9])}
+                                 if len(vals) > 9 else {}))
     w, h = (int(v) for v in args.size.split("x"))
     app = DemoApp(width=w, height=h, heightmap=args.heightmap,
                   backend=args.backend, raster=raster)

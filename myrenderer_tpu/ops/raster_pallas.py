@@ -127,6 +127,23 @@ class RasterConfig:
                                   # out blocks stay (tile_h, tile_w);
                                   # only binning and in-kernel eval
                                   # shapes change.
+    packed_stream: bool = False   # pack 4 coefficient records per
+                                  # 128-lane stream row (the records
+                                  # are 32 lanes; the padded [S, 128]
+                                  # layout wastes 3/4 of the gather
+                                  # output bytes and of the kernel's
+                                  # window DMA traffic). The stream
+                                  # build becomes a narrow
+                                  # slice-gather ([S, 32]) + one
+                                  # row-major reshape; the kernel
+                                  # evaluates each window row as 4
+                                  # consecutive entries at lane bases
+                                  # 0/32/64/96 (order-free exact: the
+                                  # depth resolve's id tie-break is
+                                  # submission-order regardless of
+                                  # arrival order). Requires
+                                  # subtiles == bands == tiles_x == 1
+                                  # and chunk/window multiples of 32.
     interpret: bool = False      # Pallas interpreter (CPU testing)
 
 
@@ -405,6 +422,24 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     packed128 = lax.optimization_barrier(
         jnp.pad(packed, ((0, 0), (0, 128 - LANES))))
 
+    def gather_stream(idx):
+        """Bin-order coefficient stream from the 128-lane-padded table
+        (wide SOURCE rows gather ~5x faster than narrow ones —
+        BASELINE.md). Default: one padded record per stream row
+        ([S, 128], 3/4 of the bytes are pad). ``packed_stream``: a
+        narrow slice-gather ([S, LANES=32]) + one row-major reshape
+        packs 4 consecutive entries per 128-lane row, quartering the
+        gather output and the kernel's window DMA traffic."""
+        if not cfg.packed_stream:
+            return packed128[idx]
+        gd = lax.GatherDimensionNumbers(offset_dims=(1,),
+                                        collapsed_slice_dims=(0,),
+                                        start_index_map=(0,))
+        rows = lax.gather(packed128, idx[:, None], gd,
+                          slice_sizes=(1, LANES),
+                          mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        return rows.reshape(idx.shape[0] // 4, 4 * LANES)
+
     def group_space(rows: int) -> int:
         return (rows * ntx * SB + 1) * (T + 1)
 
@@ -484,7 +519,7 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
         # streams costs a full extra stream-sized copy (measured 3.2 ms
         # at 4K/1M with F=2)
         idx_all = jnp.concatenate(streams) if F > 1 else streams[0]
-        stream = packed128[idx_all]
+        stream = gather_stream(idx_all)
         overflow_stream = (jnp.stack(live_l).max() > Sg) | overflow_c
     else:
         tile_sorted, tri_sorted2 = lax.sort((tile_flat, tri_flat),
@@ -502,7 +537,7 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
         idx_cap = tri_sorted2[:S]
         if idx_cap.shape[0] < S:   # S rounded past K*T
             idx_cap = jnp.pad(idx_cap, (0, S - idx_cap.shape[0]))
-        stream = packed128[idx_cap]                    # [S, 128]
+        stream = gather_stream(idx_cap)                # [S(/4), 128]
 
     # big list: indices of 'big' triangles in submission order
     big_order = jnp.where(big, tri_idx, T)
@@ -545,7 +580,8 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                    stream_scratch, dma_sems,
                    *, tile_h: int, tile_w: int,
                    chunk: int, window: int, tiles_x: int, ntx: int,
-                   bands: int = 1, subtiles: int = 1):
+                   bands: int = 1, subtiles: int = 1,
+                   packed: bool = False):
     """One program = ``bands`` consecutive (tile_h, tile_w) fine tiles
     along y (an in-kernel fori loop — per-program fixed costs and
     in/out block DMAs amortize across bands WITHOUT unrolling the body,
@@ -595,12 +631,18 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
     txg = pl.program_id(1)
     nty_c = pl.num_programs(0)
 
+    # packed_stream: 4 consecutive entries per 128-lane stream row, so
+    # a W-ENTRY window is W/4 rows and a G-entry chunk is G/4 rows
+    WR = W // 4 if packed else W
+    GR = G // 4 if packed else G
+
     def window_dma(blk, slot):
         return pltpu.make_async_copy(
-            stream_hbm.at[pl.ds(blk * W, W), :],
+            stream_hbm.at[pl.ds(blk * WR, WR), :],
             stream_scratch.at[slot], dma_sems.at[slot])
 
     r_iota = lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+    r_iota_p = lax.broadcasted_iota(jnp.int32, (GR, 1), 0)
     flat = lax.broadcasted_iota(jnp.int32, (1, THW), 1)
 
     def tile_body(r, tx, px, b):
@@ -794,6 +836,17 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             c1 = lax.div(jnp.minimum(end - wbase, W) + G - 1, G)
 
             def chunk_body(ci, carry):
+                if packed:
+                    # 4 consecutive entries per row at lane bases
+                    # 0/32/64/96: four quarter-size eval passes (order
+                    # across passes is free — the id tie-break is
+                    # submission-order regardless of arrival order)
+                    rows = stream_scratch[slot, pl.ds(ci * GR, GR), :]
+                    for j in range(4):
+                        pos = wbase + ci * G + 4 * r_iota_p + j
+                        live = (pos >= start) & (pos < end)
+                        carry = eval_block(rows, 32 * j, live, carry)
+                    return carry
                 rows = stream_scratch[slot, pl.ds(ci * G, G), :]
                 pos = wbase + ci * G + r_iota
                 live = (pos >= start) & (pos < end)
@@ -982,6 +1035,16 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
                          f"8 and divide tile_h ({cfg.tile_h})")
     if cfg.subtiles > 1 and (cfg.bands > 1 or cfg.tiles_x > 1):
         raise ValueError("subtiles > 1 requires bands == tiles_x == 1")
+    if cfg.packed_stream:
+        if cfg.subtiles > 1 or cfg.bands > 1 or cfg.tiles_x > 1:
+            raise ValueError("packed_stream requires subtiles == bands "
+                             "== tiles_x == 1")
+        if chunk % 32 or W % 32:
+            # G/4 chunk rows and W/4 window rows must stay 8-sublane
+            # aligned for VMEM slicing / DMA
+            raise ValueError("packed_stream requires chunk and "
+                             "stream_window multiples of 32")
+        assert LANES == 32, "packed_stream assumes 32-lane records"
     # bands: fine tiles per program along y (fori-looped in-kernel).
     # The fine-tile grid pads up to a whole number of programs; binning
     # runs on the padded grid so CSR indices and the kernel agree.
@@ -1004,7 +1067,8 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
     kernel = functools.partial(_raster_kernel, tile_h=cfg.tile_h,
                                tile_w=cfg.tile_w,
                                chunk=chunk, window=W, tiles_x=R,
-                               ntx=ntx, bands=BD, subtiles=cfg.subtiles)
+                               ntx=ntx, bands=BD, subtiles=cfg.subtiles,
+                               packed=cfg.packed_stream)
     tile_spec = pl.BlockSpec((BD * cfg.tile_h, R * cfg.tile_w),
                              lambda ty, tx: (ty, tx),
                              memory_space=pltpu.VMEM)
@@ -1045,7 +1109,8 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
             jax.ShapeDtypeStruct((ph, pw), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, W, 128), jnp.float32),             # windows
+            pltpu.VMEM((2, W // 4 if cfg.packed_stream else W, 128),
+                       jnp.float32),                          # windows
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=cfg.interpret,

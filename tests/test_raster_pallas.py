@@ -477,6 +477,32 @@ def test_subtile_rendering_matches_full_tile():
             np.testing.assert_array_equal(np.asarray(e1), np.asarray(e))
 
 
+def test_packed_stream_matches_default():
+    """packed_stream=True packs 4 coefficient records per 128-lane
+    stream row (narrow slice-gather + row-major reshape; the kernel
+    evaluates each window row as 4 entries at lane bases 0/32/64/96).
+    Winners, depth, and varying planes must be bit-identical to the
+    one-record-per-row layout AND to the oracle."""
+    import dataclasses
+
+    for H, W in ((48, 384), (40, 130)):   # incl. padded partial tiles
+        clip, vary = random_triangles(200, seed=99)
+        valid = jnp.ones(200, bool)
+        tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+        d_ref, w_ref = rr.rasterize_visibility(tc, H, W)
+        d1, w1, n1, e1, o1 = rp.rasterize(tc, H, W, tri_clip=clip,
+                                          cfg=CFG)
+        cfg = dataclasses.replace(CFG, packed_stream=True, chunk=32,
+                                  stream_window=64)
+        d, w, n, e, o = rp.rasterize(tc, H, W, tri_clip=clip, cfg=cfg)
+        assert not bool(np.asarray(o).any())
+        np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w))
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d))
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n))
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e))
+
+
 def test_subtile_band_rendering_matches_full_frame():
     """subtiles>1 composed with the multi-chip row-band path (y0 /
     vp_height): a band render must be bit-identical to the same rows of

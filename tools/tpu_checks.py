@@ -77,6 +77,19 @@ def check_parity():
               f"depth ulps={ulps_s} "
               f"overflow={np.asarray(ovf_s).tolist()}")
         ok &= wds == 0 and ulps_s == 0 and not np.asarray(ovf_s).any()
+        # packed stream (4 records per 128-lane row): bit-exact too
+        ps_cfg = rp.RasterConfig(packed_stream=True, chunk=32,
+                                 stream_window=256)
+        d_q, w_q, _n, _d, ovf_q = jax.jit(
+            lambda tc, c: rp.rasterize(tc, H, W, tri_clip=c,
+                                       cfg=ps_cfg))(tc, clip)
+        wdq = int((np.asarray(w_p) != np.asarray(w_q)).sum())
+        ulps_q = int(np.abs(np.asarray(d_p).view(np.int32)
+                            - np.asarray(d_q).view(np.int32)).max())
+        print(f"  packed_stream vs default: winner diffs={wdq} "
+              f"depth ulps={ulps_q} "
+              f"overflow={np.asarray(ovf_q).tolist()}")
+        ok &= wdq == 0 and ulps_q == 0 and not np.asarray(ovf_q).any()
     return ok
 
 
