@@ -579,11 +579,15 @@ class Draw:
         # blocking: flags queue with an async device->host copy and are
         # consumed as they become ready (is_ready poll — a blocking read
         # per frame would serialize host and device). A flag is acted on
-        # a few frames after its overflow — overflow is never silent:
+        # a few frames after its overflow — overflow is never SILENT:
         # the queue is force-drained beyond 3 outstanding flags (the
         # ~30 ms relay readback amortizes at these frame times), and the
-        # flagged frame is re-rendered with the bumped plan before
-        # publishing, so no published frame ever drops triangles.
+        # DETECTING frame is re-rendered with the bumped plan before it
+        # publishes. Frames between the overflow and its detection (at
+        # most the 3-deep queue) publish with dropped triangles; the
+        # synchronous window right after a (re)build and the opt-in
+        # ``Renderer.strict_overflow`` (sync check EVERY frame) give
+        # the zero-dropped-frames guarantee where it matters.
         if plan.raster_cfg is not None and self._big_scale < 256:
             if self._frames_since_rebuild < 3 or rend.strict_overflow:
                 # synchronous check: right after a (re)build, and every
