@@ -96,12 +96,37 @@ print(json.dumps(N / (time.perf_counter() - t0)))
     return fps
 
 
+def probe_backend(timeout_s: int = 900) -> bool:
+    """True when the accelerator backend initializes. The axon TPU
+    relay can go UNAVAILABLE for hours (pool maintenance) and
+    jax.devices() then blocks forever in C++ — probe in a subprocess
+    with a hard timeout so the bench emits an honest failure line
+    instead of hanging the driver."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--size", default=None, help="override WxH")
     args = ap.parse_args()
+
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") \
+            and not probe_backend():
+        print("TPU backend unavailable (probe timed out) — no honest "
+              "measurement possible", file=sys.stderr)
+        print(json.dumps({"metric": "demo_1080p_fps", "value": None,
+                          "unit": "frames/sec", "vs_baseline": None,
+                          "error": "tpu backend unavailable"}))
+        return
 
     if args.smoke:
         w, h, frames = 256, 256, 10
