@@ -66,3 +66,96 @@ def test_dispatch_through_triangulation_class():
 def test_native_rejects_ccw():
     with pytest.raises(ValueError):
         native_verts(SQUARE[::-1])
+
+
+# ---------------------------------------------------------------------------
+# native PNG codec (png_codec.cpp) vs PIL — identical pixels both ways
+# ---------------------------------------------------------------------------
+
+def test_png_gray16_roundtrip_and_pil_parity():
+    import io
+    from PIL import Image
+    from myrenderer_tpu.utils import png_native as pn
+    assert pn.available()
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 65536, (37, 53), dtype=np.uint16)
+    blob = pn.encode_gray16(g)
+    np.testing.assert_array_equal(pn.decode_gray16(blob), g)
+    # PIL reads the native bytes identically
+    np.testing.assert_array_equal(
+        np.array(Image.open(io.BytesIO(blob))).astype(np.uint16), g)
+    # native reads PIL bytes identically
+    buf = io.BytesIO()
+    Image.fromarray(g, mode="I;16").save(buf, format="PNG")
+    np.testing.assert_array_equal(pn.decode_gray16(buf.getvalue()), g)
+
+
+def test_png_gray8_widens_like_pil_path():
+    import io
+    from PIL import Image
+    from myrenderer_tpu.utils import png_native as pn
+    assert pn.available()
+    rng = np.random.default_rng(8)
+    g8 = rng.integers(0, 256, (20, 31), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(g8, mode="L").save(buf, format="PNG")
+    np.testing.assert_array_equal(pn.decode_gray16(buf.getvalue()),
+                                  g8.astype(np.uint16) * 257)
+
+
+def test_png_rgba8_roundtrip_and_pil_parity():
+    import io
+    from PIL import Image
+    from myrenderer_tpu.utils import png_native as pn
+    assert pn.available()
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, (25, 41, 4), dtype=np.uint8)
+    blob = pn.encode_rgba8(a)
+    np.testing.assert_array_equal(pn.decode_rgba8(blob), a)
+    np.testing.assert_array_equal(
+        np.array(Image.open(io.BytesIO(blob)).convert("RGBA")), a)
+    buf = io.BytesIO()
+    Image.fromarray(a, mode="RGBA").save(buf, format="PNG")
+    np.testing.assert_array_equal(pn.decode_rgba8(buf.getvalue()), a)
+
+
+def test_png_unsupported_falls_back():
+    """Palette PNGs are outside the native codec's scope: the bridge
+    returns None and utils.png falls back to PIL (same pixels)."""
+    import io
+    from PIL import Image
+    from myrenderer_tpu.utils import png, png_native as pn
+    assert pn.available()
+    rng = np.random.default_rng(10)
+    a = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    im = Image.fromarray(a, mode="RGB").convert("P")
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    assert pn.decode_rgba8(buf.getvalue()) is None
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as d:
+        p = _os.path.join(d, "pal.png")
+        with open(p, "wb") as f:
+            f.write(buf.getvalue())
+        out = png.load_rgba8(p)
+        np.testing.assert_array_equal(
+            out, np.array(Image.open(io.BytesIO(buf.getvalue()))
+                          .convert("RGBA")))
+
+
+def test_png_utils_dispatch_native():
+    """utils.png write/read pairs stay bit-exact through the native
+    codec (the demo's golden harness path)."""
+    import tempfile, os as _os
+    from myrenderer_tpu.utils import png
+    rng = np.random.default_rng(11)
+    with tempfile.TemporaryDirectory() as d:
+        g = rng.integers(0, 65536, (100, 100), dtype=np.uint16)
+        p = _os.path.join(d, "g.png")
+        png.save_grayscale16(p, g)
+        np.testing.assert_array_equal(png.load_grayscale16(p), g)
+        a = rng.random((32, 45, 4)).astype(np.float32)
+        q = _os.path.join(d, "a.png")
+        png.save_rgba8(q, a)
+        expect = np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(png.load_rgba8(q), expect)
