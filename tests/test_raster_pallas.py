@@ -512,6 +512,15 @@ def test_packed_stream_matches_default():
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d))
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(n))
 
+    # and with the two-key sort fallback (key space past u32)
+    with mock.patch.object(rp, "_FORCE_TWO_KEY_SORT", True,
+                           create=True):
+        d, w, n, e, o = rp.rasterize(tc, H, W, tri_clip=clip, cfg=cfg)
+    assert not bool(np.asarray(o).any())
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n))
+
 
 def test_subtile_band_rendering_matches_full_frame():
     """subtiles>1 composed with the multi-chip row-band path (y0 /
