@@ -135,37 +135,11 @@ def main(argv=None):
                     help="print steady-state ms/frame")
     ap.add_argument("--dump-dir", default=None,
                     help="write every frame as frame_%%04d.png")
-    ap.add_argument("--raster", default=None,
-                    help="RasterConfig override 'th,tw,chunk,window"
-                         "[,tiles_x[,span_budget[,bands[,subtiles"
-                         "[,sf10[,ps]]]]]]' (kernel tuning sweeps; "
-                         "span_budget 0 keeps auto; sf10 = "
-                         "stream_factor in tenths, e.g. 15 -> 1.5; "
-                         "ps = packed_stream 0/1)")
+    from ..ops.raster_pallas import RASTER_FLAG_HELP, config_from_flag
+    ap.add_argument("--raster", default=None, help=RASTER_FLAG_HELP)
     args = ap.parse_args(argv)
 
-    raster = None
-    if args.raster:
-        from ..ops.raster_pallas import RasterConfig
-        vals = [int(v) for v in args.raster.split(",")]
-        th, tw, chunk, window = vals[:4]
-        # tiles_x defaults to the RasterConfig default (1): multi-tile
-        # programs measured neutral-to-harmful (BASELINE.md lever 2) and
-        # must be opted into explicitly via the 5th value
-        raster = RasterConfig(tile_h=th, tile_w=tw, chunk=chunk,
-                              stream_window=window,
-                              tiles_x=vals[4] if len(vals) > 4 else 1,
-                              **({"max_tiles_per_tri": vals[5],
-                                  "auto_span": False}
-                                 if len(vals) > 5 and vals[5] else {}),
-                              **({"bands": vals[6]}
-                                 if len(vals) > 6 else {}),
-                              **({"subtiles": vals[7]}
-                                 if len(vals) > 7 else {}),
-                              **({"stream_factor": vals[8] / 10.0}
-                                 if len(vals) > 8 and vals[8] else {}),
-                              **({"packed_stream": bool(vals[9])}
-                                 if len(vals) > 9 else {}))
+    raster = config_from_flag(args.raster) if args.raster else None
     w, h = (int(v) for v in args.size.split("x"))
     app = DemoApp(width=w, height=h, heightmap=args.heightmap,
                   backend=args.backend, raster=raster)

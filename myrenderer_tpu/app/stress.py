@@ -134,34 +134,11 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--out", default=None)
     ap.add_argument("--backend", default="auto")
-    ap.add_argument("--raster", default=None,
-                    help="RasterConfig override 'th,tw,chunk,window"
-                         "[,tiles_x[,span_budget[,bands[,subtiles"
-                         "[,sf10[,ps]]]]]]' (kernel tuning sweeps; "
-                         "span_budget 0 keeps auto; sf10 = "
-                         "stream_factor in tenths, e.g. 15 -> 1.5; "
-                         "ps = packed_stream 0/1)")
+    from ..ops.raster_pallas import RASTER_FLAG_HELP, config_from_flag
+    ap.add_argument("--raster", default=None, help=RASTER_FLAG_HELP)
     args = ap.parse_args(argv)
 
-    raster = None
-    if args.raster:
-        from ..ops.raster_pallas import RasterConfig
-        vals = [int(v) for v in args.raster.split(",")]
-        th, tw, chunk, window = vals[:4]
-        raster = RasterConfig(tile_h=th, tile_w=tw, chunk=chunk,
-                              stream_window=window,
-                              tiles_x=vals[4] if len(vals) > 4 else 1,
-                              **({"max_tiles_per_tri": vals[5],
-                                  "auto_span": False}
-                                 if len(vals) > 5 and vals[5] else {}),
-                              **({"bands": vals[6]}
-                                 if len(vals) > 6 else {}),
-                              **({"subtiles": vals[7]}
-                                 if len(vals) > 7 else {}),
-                              **({"stream_factor": vals[8] / 10.0}
-                                 if len(vals) > 8 and vals[8] else {}),
-                              **({"packed_stream": bool(vals[9])}
-                                 if len(vals) > 9 else {}))
+    raster = config_from_flag(args.raster) if args.raster else None
 
     import jax
     w, h = (int(v) for v in args.size.split("x"))

@@ -149,6 +149,35 @@ class RasterConfig:
 
 DEFAULT_CONFIG = RasterConfig()
 
+RASTER_FLAG_HELP = ("RasterConfig override 'th,tw,chunk,window[,tiles_x"
+                    "[,span_budget[,bands[,subtiles[,sf10[,ps]]]]]]' "
+                    "(kernel tuning sweeps; span_budget 0 keeps auto; "
+                    "sf10 = stream_factor in tenths, e.g. 15 -> 1.5; "
+                    "ps = packed_stream 0/1)")
+
+
+def config_from_flag(spec: str) -> RasterConfig:
+    """Parse the apps' shared ``--raster`` sweep flag (see
+    RASTER_FLAG_HELP). Zero values in optional slots keep the
+    RasterConfig default, so later slots can be set positionally
+    without committing earlier ones (tiles_x excepted: its slot always
+    binds because 0 is not a legal value)."""
+    vals = [int(v) for v in spec.split(",")]
+    th, tw, chunk, window = vals[:4]
+    return RasterConfig(
+        tile_h=th, tile_w=tw, chunk=chunk, stream_window=window,
+        # tiles_x defaults to the RasterConfig default (1): multi-tile
+        # programs measured neutral-to-harmful (BASELINE.md lever 2)
+        # and must be opted into explicitly via the 5th value
+        tiles_x=vals[4] if len(vals) > 4 else 1,
+        **({"max_tiles_per_tri": vals[5], "auto_span": False}
+           if len(vals) > 5 and vals[5] else {}),
+        **({"bands": vals[6]} if len(vals) > 6 and vals[6] else {}),
+        **({"subtiles": vals[7]} if len(vals) > 7 and vals[7] else {}),
+        **({"stream_factor": vals[8] / 10.0}
+           if len(vals) > 8 and vals[8] else {}),
+        **({"packed_stream": bool(vals[9])} if len(vals) > 9 else {}))
+
 
 def _cdiv(a: int, b: int) -> int:
     return (a + b - 1) // b

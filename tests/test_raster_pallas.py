@@ -545,3 +545,22 @@ def test_subtile_band_rendering_matches_full_frame():
                                   np.asarray(d_b))
     np.testing.assert_array_equal(np.asarray(n_f)[:, y0:y0 + bh],
                                   np.asarray(n_b))
+
+
+def test_config_from_flag_slots():
+    """The apps' shared --raster flag: positional slots bind in order,
+    0 keeps the RasterConfig default in optional slots."""
+    c = rp.config_from_flag("8,128,16,256")
+    assert (c.tile_h, c.tile_w, c.chunk, c.stream_window) == \
+        (8, 128, 16, 256)
+    assert c.tiles_x == 1 and c.auto_span and c.subtiles == 1
+    c = rp.config_from_flag("32,128,32,256,2,6,1,4,15,1")
+    assert c.tiles_x == 2
+    assert c.max_tiles_per_tri == 6 and not c.auto_span
+    assert c.subtiles == 4
+    assert c.stream_factor == 1.5
+    assert c.packed_stream
+    # zeros skip: span stays auto, sf stays default
+    c = rp.config_from_flag("8,128,32,256,1,0,0,0,0,1")
+    assert c.auto_span and c.stream_factor == 2.0 and c.bands == 1
+    assert c.subtiles == 1 and c.packed_stream
