@@ -497,19 +497,24 @@ def edge_is_top_left(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 # Top-left fill-rule epsilon: the smallest NORMAL f32. A top-left edge
-# passes coverage at e == 0 via (e + eps) > 0; a non-top-left edge
-# stays strict. Exactly the classical rule at every representable
-# non-subnormal e (including -0.0, which compares == 0 in the old
-# spelling and gets +eps > 0 here). The only divergence is subnormal
-# negative e on a top-left edge — a value the TPU VPU flushes to -0.0
-# anyway, so this spelling is MORE consistent between the CPU oracle
-# and hardware than the exact-zero compare, and 2 vector ops per edge
-# instead of 4. A doubly-covered shared-edge pixel (both triangles
-# within eps) is resolved deterministically by the id depth tie-break.
+# passes coverage at e == 0 via e > -eps; a non-top-left edge stays
+# strict (e > 0, where the -0.0 threshold compares equal to 0).
+# ``e > -eps`` is exactly equivalent to the earlier ``(e + eps) > 0``
+# spelling at EVERY f32 e: they can only differ where e + eps rounds,
+# and for |e| <= eps (eps = the smallest normal) the sum is exact, so
+# both sides flip at precisely e == -eps. Exactly the classical rule
+# at every representable non-subnormal e (including -0.0); the only
+# divergence from an exact-zero compare is subnormal negative e on a
+# top-left edge — a value the TPU VPU flushes to -0.0 anyway, so this
+# spelling is MORE consistent between the CPU oracle and hardware, and
+# a threshold compare is 1 (rows, pixels) vector op per edge instead
+# of the add-then-compare's 2. A doubly-covered shared-edge pixel
+# (both triangles within eps) is resolved deterministically by the id
+# depth tie-break.
 _TL_EPS = 1.17549435e-38
 
 
-def coverage_depth(tc_row_px, px, py):
+def coverage_depth(tc_row_px, px, py, row_mask=None):
     """Evaluate one triangle's coverage mask and depth over a pixel grid.
 
     ``tc_row_px`` is a tuple of per-triangle scalars
@@ -517,27 +522,40 @@ def coverage_depth(tc_row_px, px, py):
     ``px``/``py`` are pixel-center coordinate grids (any broadcastable
     shape). Returns (covered: bool, z: f32) with z in NDC depth.
 
+    ``row_mask`` (optional, row-shaped bool): rows that can never cover
+    (dead chunk slots in the Pallas kernel). It is folded into the edge
+    THRESHOLD (+inf on dead rows) together with the ``zhi > 0``
+    validity test, so the fold costs row-shaped ops only — the kernel's
+    inner loop drops two (rows, pixels) mask ANDs. Pure boolean
+    algebra: the returned ``cov`` is bit-identical to masking after.
+
     This is THE shared decision rule: both rasterizer backends call it.
     """
     (a0, b0, c0, a1, b1, c1, a2, b2, c2,
      zna, znb, znc, wna, wnb, wnc, zhi) = tc_row_px
     f32 = jnp.float32
-    # per-row scalar epsilons (broadcast against the pixel grid)
-    tl0 = edge_is_top_left(a0, b0).astype(f32) * f32(_TL_EPS)
-    tl1 = edge_is_top_left(a1, b1).astype(f32) * f32(_TL_EPS)
-    tl2 = edge_is_top_left(a2, b2).astype(f32) * f32(_TL_EPS)
+    # per-row fill-rule thresholds (broadcast against the pixel grid);
+    # lane 15 ('zhi') doubles as the validity flag (0 = padded/culled),
+    # folded into edge 0's threshold as +inf (no e satisfies e > inf)
+    row_ok = zhi > 0
+    if row_mask is not None:
+        row_ok = row_ok & row_mask
+    th0 = jnp.where(row_ok,
+                    edge_is_top_left(a0, b0).astype(f32) * f32(-_TL_EPS),
+                    f32(jnp.inf))
+    th1 = edge_is_top_left(a1, b1).astype(f32) * f32(-_TL_EPS)
+    th2 = edge_is_top_left(a2, b2).astype(f32) * f32(-_TL_EPS)
     e0 = a0 * px + b0 * py + c0
     e1 = a1 * px + b1 * py + c1
     e2 = a2 * px + b2 * py + c2
-    cov = ((e0 + tl0 > 0) & (e1 + tl1 > 0) & (e2 + tl2 > 0))
+    cov = (e0 > th0) & (e1 > th1) & (e2 > th2)
     zn = zna * px + znb * py + znc
     wn = wna * px + wnb * py + wnc
     z = zn / wn
-    # lane 15 ('zhi') doubles as the validity flag (0 = padded/culled)
-    # and the triangle's depth window: z in [zhi - 1, zhi]. For plain
+    # the triangle's depth window: z in [zhi - 1, zhi]. For plain
     # surfaces the window is [0, 1]; for layer-biased merged surfaces
     # it enforces each layer's near/far clip.
-    cov = cov & (wn > 0) & (z >= zhi - 1.0) & (z <= zhi) & (zhi > 0)
+    cov = cov & (wn > 0) & (z >= zhi - 1.0) & (z <= zhi)
     return cov, z
 
 

@@ -720,8 +720,10 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                 return sub[:, lane_base + k:lane_base + k + 1]
 
             scalars = tuple(lane(k) for k in range(rc.COEFF_LANES))
-            cov, z = rc.coverage_depth(scalars, px, py)    # (g, THW)
-            cov = cov & live
+            # live/validity fold into the edge threshold: no (g, THW)
+            # mask ANDs in the inner loop (see coverage_depth)
+            cov, z = rc.coverage_depth(scalars, px, py,
+                                       row_mask=live)      # (g, THW)
             # sentinel must exceed ANY representable depth (layer-
             # biased merged passes go beyond 1.0)
             zm = jnp.where(cov, z, jnp.float32(jnp.inf))
@@ -747,7 +749,7 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             # nonzero per pixel lane, so every other term of the dot's
             # reduction is an exact f32 0.0 and any reduction order/
             # precision reproduces the winning row's coefficient bits
-            # (the same argument as eval_block_sub's plane_sb). The
+            # (eval_block_sub recovers per strip the same way). The
             # plane value is then the SAME a*px + b*py + c expression
             # as before, on the same coefficient bits — bit-identical
             # output, ~25 fewer (g, THW) vector ops per chunk.
@@ -787,8 +789,8 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             scalars = tuple(lane(k) for k in range(rc.COEFF_LANES))
             # entry r's pixels: its own strip's y-range
             pyr = py_sub0 + (sb_r * RH).astype(jnp.float32)  # (g, THWS)
-            cov, z = rc.coverage_depth(scalars, px_sub, pyr)
-            cov = cov & live
+            cov, z = rc.coverage_depth(scalars, px_sub, pyr,
+                                       row_mask=live)
             zm = jnp.where(cov, z, jnp.float32(jnp.inf))
             ids = jnp.broadcast_to(lane(16), zm.shape)
             # per-subtile winner resolve: min over the rows of each
@@ -814,28 +816,36 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             is_win_row = cov & (zm == zmin_r) & (ids == idmin_r)
             wf = is_win_row.astype(jnp.float32)
 
-            # winner's varying planes, per subtile: out[sb, l] =
-            # sum_g M[sb, g] * wf[g, l] * val[g, l]. Exactly ONE row
-            # wins per (subtile, lane), so every term but one is an
-            # exact 0.0 f32 and ANY reduction order/precision
-            # reproduces the winning row's plane value bit-exactly —
-            # which lets the (otherwise idle) MXU do the reduction
-            # instead of SB x 5 masked VPU sum-reduces.
-            MT = (sb_r == lax.broadcasted_iota(jnp.int32, (1, SB), 1)
-                  ).astype(jnp.float32)                    # (g, SB)
-
-            def plane_sb(ka, kb, kc):
-                val = lane(ka) * px_sub + lane(kb) * pyr + lane(kc)
-                return lax.dot_general(
-                    MT, wf * val, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # (SB, THWS)
-
-            den_c = plane_sb(17, 18, 19)
-            nums_c = tuple(plane_sb(20 + 3 * ch, 21 + 3 * ch,
-                                    22 + 3 * ch) for ch in range(4))
+            # winner's varying-plane COEFFICIENTS, recovered per strip
+            # with one (g, 16) x (g, THWS) MXU dot each — the same
+            # formulation as eval_block: exactly ONE row wins per
+            # (strip, lane) (a row's zmin_r/idmin_r reference its OWN
+            # strip), so every other term of the dot's reduction is an
+            # exact f32 0.0 and any reduction order/precision
+            # reproduces the winning row's coefficient bits. The plane
+            # value is then the SAME a*px + b*py + c expression as
+            # eval_block, on the same coefficient bits — SB > 1 output
+            # stays bit-identical to the SB = 1 path.
+            cf = sub[:, 16:32]                             # id + 5 planes
+            wc_s = [lax.dot_general(cf, jnp.where(masks[sb], wf, 0.0),
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                    for sb in range(SB)]                   # (16, THWS)
 
             out = []
             for sb in range(SB):
+                wc = wc_s[sb]
+                py_s = py_sub0 + jnp.float32(sb * RH)
+
+                def plane(ka, kb, kc, wc=wc, py_s=py_s):
+                    # ka/kb/kc are record-relative lanes; wc row = lane - 16
+                    return (wc[ka - 16:ka - 15] * px_sub
+                            + wc[kb - 16:kb - 15] * py_s
+                            + wc[kc - 16:kc - 15])
+
+                den_c = plane(17, 18, 19)
+                nums_c = tuple(plane(20 + 3 * ch, 21 + 3 * ch, 22 + 3 * ch)
+                               for ch in range(4))
                 depth, winner, nums, den = carry[sb]
                 zmin = zmin_s[sb]
                 idw = idmin_s[sb].astype(jnp.int32)
@@ -843,9 +853,9 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                 out.append((
                     jnp.where(win, zmin, depth),
                     jnp.where(win, idw, winner),
-                    tuple(jnp.where(win, nums_c[ch][sb:sb + 1], nums[ch])
+                    tuple(jnp.where(win, nums_c[ch], nums[ch])
                           for ch in range(4)),
-                    jnp.where(win, den_c[sb:sb + 1], den)))
+                    jnp.where(win, den_c, den)))
             return tuple(out)
 
         # --- binned triangles: double-buffered stream windows ----------
