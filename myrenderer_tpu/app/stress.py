@@ -76,8 +76,10 @@ class StressApp:
         # pixel waste at sub-pixel triangle sizes (median bbox 2.3 px^2
         # here) — split-frame binning keeps the fused u32 bin sort
         # available at this tile height; chunk 32 balances boundary
-        # waste vs per-chunk fixed cost. The demo-scale default stays
-        # 32-row tiles / chunk 16.
+        # waste vs per-chunk fixed cost (chunk 64 measured faster ONLY
+        # under the since-reverted z-plane setup rework — re-measure on
+        # this code before changing: BASELINE.md batch 5). The
+        # demo-scale default stays 32-row tiles / chunk 16.
         from ..ops.raster_pallas import RasterConfig
         # stream_factor 1.6: occupancy analysis said the worst orbit
         # group needs >= 1.42x T stream rows; the hardware sweep
