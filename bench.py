@@ -38,15 +38,18 @@ BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 DEMO_TRIANGLES = 100 * 100 * 2 + 5 + 2
 
 
-def measure(app: DemoApp, frames: int, runs: int = 5) -> float:
-    """Steady-state seconds/frame: MIN over ``runs`` timed runs of
-    ``frames`` frames each (jit warm, block-fenced).
+def measure(app: DemoApp, frames: int, runs: int = 5) -> list:
+    """Steady-state seconds/frame: SORTED ``runs`` timed runs of
+    ``frames`` frames each (jit warm, block-fenced). The headline is
+    the min; callers also record the median/max (ADVICE r3 — min alone
+    hides a bimodal device-side regression such as occasional slow
+    frames from a capacity edge).
 
-    Min, not median: the shared axon relay pool adds strictly
-    one-sided contention noise that drifts by 1.3-2.7x over hours with
-    the code held constant (BASELINE.md "Relay drift" — the identical
-    round-2 commit measured 7.82 ms at midday and 21.0 ms that
-    evening; BENCH_r02 captured 112.7 fps where repeated local
+    Min as headline, not median: the shared axon relay pool adds
+    strictly one-sided contention noise that drifts by 1.3-2.7x over
+    hours with the code held constant (BASELINE.md "Relay drift" — the
+    identical round-2 commit measured 7.82 ms at midday and 21.0 ms
+    that evening; BENCH_r02 captured 112.7 fps where repeated local
     measurement said ~127). Each sample is already a ``frames``-frame
     average, so the min of five is the least-contaminated estimate of
     renderer cost, not a lucky single frame."""
@@ -59,7 +62,7 @@ def measure(app: DemoApp, frames: int, runs: int = 5) -> float:
             app.tick()
         jax.block_until_ready(app.window.framebuffer)
         times.append((time.perf_counter() - t0) / frames)
-    return min(times)
+    return sorted(times)
 
 
 def cpu_oracle_baseline(width: int, height: int) -> float:
@@ -142,7 +145,8 @@ def main():
 
     backend = "pallas" if jax.default_backend() != "cpu" else "oracle"
     app = DemoApp(width=w, height=h, backend=backend)
-    spf = measure(app, frames)
+    times = measure(app, frames)
+    spf = times[0]
     fps = 1.0 / spf
     mtris = DEMO_TRIANGLES * fps / 1e6
 
@@ -166,6 +170,12 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        # spread of the 5 runs for regression forensics (ADVICE r3):
+        # the headline is min-of-5 (one-sided relay noise); a bimodal
+        # device-side regression shows up here as median/max blowup
+        "runs_ms": [round(t * 1000, 3) for t in times],
+        "median_ms": round(times[len(times) // 2] * 1000, 3),
+        "max_ms": round(times[-1] * 1000, 3),
     }))
 
 

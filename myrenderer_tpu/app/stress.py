@@ -163,9 +163,19 @@ def main(argv=None):
         app.tick()
     jax.block_until_ready(app.window.framebuffer)
     dt = (time.perf_counter() - t0) / args.frames
+    # capacity overflow must not masquerade as a perf win (ADVICE r3):
+    # a frame that exceeded the stream/big capacities silently dropped
+    # triangles while reporting a faster ms/frame, so surface the flag
+    # from the LAST timed frame next to the headline number.
+    import numpy as np
+    ovf = np.asarray(app.draw.last_overflow)
     print(f"{args.frames} frames: {dt * 1000:.1f} ms/frame "
           f"({1 / dt:.2f} fps, "
-          f"{app.triangles / dt / 1e6:.1f} Mtri/s)", flush=True)
+          f"{app.triangles / dt / 1e6:.1f} Mtri/s) "
+          f"overflow={ovf.tolist()}", flush=True)
+    if ovf.any():
+        raise SystemExit("OVERFLOW during timed loop — capacity config "
+                         "invalid, timing not comparable")
     if args.out:
         from ..utils.png import save_rgba8
         save_rgba8(args.out, app.window.read_pixels())

@@ -756,7 +756,15 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             is_win_row = cov & (zm == zmin) & (ids == idmin)
             wf = is_win_row.astype(jnp.float32)
             cf = sub[:, lane_base + 16:lane_base + 32]     # id + 5 planes
+            # precision=HIGHEST is LOAD-BEARING on hardware: it is the
+            # only setting Mosaic lowers as fp32 contraction
+            # (#tpu.contract_precision<fp32>); the default truncates the
+            # f32 coefficient operand to bf16 on the MXU, silently
+            # shaving ~16 mantissa bits off every recovered varying
+            # plane (ADVICE r3). With the exact 0/1 wf operand, HIGHEST
+            # reproduces the winning row's coefficient bits exactly.
             wc = lax.dot_general(cf, wf, (((0,), (0,)), ((), ())),
+                                 precision=lax.Precision.HIGHEST,
                                  preferred_element_type=jnp.float32)
 
             def plane(ka, kb, kc):
@@ -827,8 +835,11 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             # eval_block, on the same coefficient bits — SB > 1 output
             # stays bit-identical to the SB = 1 path.
             cf = sub[:, 16:32]                             # id + 5 planes
+            # precision=HIGHEST: see eval_block — anything lower
+            # truncates cf to bf16 on the MXU (ADVICE r3)
             wc_s = [lax.dot_general(cf, jnp.where(masks[sb], wf, 0.0),
                                     (((0,), (0,)), ((), ())),
+                                    precision=lax.Precision.HIGHEST,
                                     preferred_element_type=jnp.float32)
                     for sb in range(SB)]                   # (16, THWS)
 

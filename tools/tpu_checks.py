@@ -42,6 +42,35 @@ def random_triangles(n, seed):
     return jnp.asarray(clip), jnp.asarray(vary)
 
 
+def oracle_planes(tc, winner, H, W):
+    """Oracle nums/den: the winning triangle's varying numerator /
+    denominator PLANES evaluated at pixel centers — the same
+    ``a*px + b*py + c`` expression on the same coefficient bits as the
+    kernel's MXU-recovered planes (``rc.resolve_varyings`` pre-divide),
+    with uncovered pixels at the kernel's (0s, 1) convention. The
+    hardware assertion this feeds is exactly what ADVICE r3 flagged as
+    uncovered: the varying planes are the output the MXU recovery dot
+    reroutes, and winner/depth parity alone cannot see a bf16-truncated
+    contraction."""
+    covered = winner >= 0
+    t = jnp.maximum(winner, 0)
+    px, py = rc.pixel_grids(H, W)
+    col_abc = tc.col_abc[t]                      # [H, W, 3, C]
+    en_abc = tc.en_abc[t]                        # [H, W, 3]
+    den = (en_abc[..., 0] * px + en_abc[..., 1] * py + en_abc[..., 2])
+    num = (col_abc[..., 0, :] * px[..., None]
+           + col_abc[..., 1, :] * py[..., None]
+           + col_abc[..., 2, :])                 # [H, W, C]
+    num = jnp.where(covered[..., None], num, 0.0)
+    den = jnp.where(covered, den, 1.0)
+    return jnp.moveaxis(num, -1, 0), den         # [C, H, W], [H, W]
+
+
+def _ulps(a, b):
+    return int(np.abs(np.asarray(a).view(np.int32)
+                      - np.asarray(b).view(np.int32)).max())
+
+
 def check_parity():
     H, W = 96, 256
     ok = True
@@ -57,39 +86,44 @@ def check_parity():
         tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
         d_r, w_r = jax.jit(
             lambda tc: rr.rasterize_visibility(tc, H, W))(tc)
-        d_p, w_p, _n, _d, ovf = jax.jit(
+        d_p, w_p, n_p, den_p, ovf = jax.jit(
             lambda tc, c: rp.rasterize(tc, H, W, tri_clip=c))(tc, clip)
+        n_r, den_r = jax.jit(
+            lambda tc, w: oracle_planes(tc, w, H, W))(tc, w_r)
         wd = int((np.asarray(w_r) != np.asarray(w_p)).sum())
-        ulps = int(np.abs(np.asarray(d_r).view(np.int32)
-                          - np.asarray(d_p).view(np.int32)).max())
+        ulps = _ulps(d_r, d_p)
+        vulps = max(_ulps(n_r, n_p), _ulps(den_r, den_p))
         print(f"parity T={n}: winner diffs={wd} depth ulps={ulps} "
+              f"vary-plane ulps={vulps} "
               f"overflow={np.asarray(ovf).tolist()}")
-        ok &= wd == 0 and not np.asarray(ovf).any()
-        # row-strip kernel (subtiles=4): winners AND depth must match
-        # the SB=1 kernel bit-exactly on hardware too
-        d_s, w_s, _n, _d, ovf_s = jax.jit(
+        ok &= wd == 0 and vulps == 0 and not np.asarray(ovf).any()
+        # row-strip kernel (subtiles=4): winners, depth AND varying
+        # planes must match the SB=1 kernel bit-exactly on hardware too
+        d_s, w_s, n_s, den_s, ovf_s = jax.jit(
             lambda tc, c: rp.rasterize(tc, H, W, tri_clip=c,
                                        cfg=sub_cfg))(tc, clip)
         wds = int((np.asarray(w_p) != np.asarray(w_s)).sum())
-        ulps_s = int(np.abs(np.asarray(d_p).view(np.int32)
-                            - np.asarray(d_s).view(np.int32)).max())
+        ulps_s = _ulps(d_p, d_s)
+        vulps_s = max(_ulps(n_p, n_s), _ulps(den_p, den_s))
         print(f"  subtiles=4 vs SB=1: winner diffs={wds} "
-              f"depth ulps={ulps_s} "
+              f"depth ulps={ulps_s} vary-plane ulps={vulps_s} "
               f"overflow={np.asarray(ovf_s).tolist()}")
-        ok &= wds == 0 and ulps_s == 0 and not np.asarray(ovf_s).any()
+        ok &= (wds == 0 and ulps_s == 0 and vulps_s == 0
+               and not np.asarray(ovf_s).any())
         # packed stream (4 records per 128-lane row): bit-exact too
         ps_cfg = rp.RasterConfig(packed_stream=True, chunk=32,
                                  stream_window=256)
-        d_q, w_q, _n, _d, ovf_q = jax.jit(
+        d_q, w_q, n_q, den_q, ovf_q = jax.jit(
             lambda tc, c: rp.rasterize(tc, H, W, tri_clip=c,
                                        cfg=ps_cfg))(tc, clip)
         wdq = int((np.asarray(w_p) != np.asarray(w_q)).sum())
-        ulps_q = int(np.abs(np.asarray(d_p).view(np.int32)
-                            - np.asarray(d_q).view(np.int32)).max())
+        ulps_q = _ulps(d_p, d_q)
+        vulps_q = max(_ulps(n_p, n_q), _ulps(den_p, den_q))
         print(f"  packed_stream vs default: winner diffs={wdq} "
-              f"depth ulps={ulps_q} "
+              f"depth ulps={ulps_q} vary-plane ulps={vulps_q} "
               f"overflow={np.asarray(ovf_q).tolist()}")
-        ok &= wdq == 0 and ulps_q == 0 and not np.asarray(ovf_q).any()
+        ok &= (wdq == 0 and ulps_q == 0 and vulps_q == 0
+               and not np.asarray(ovf_q).any())
     return ok
 
 
