@@ -315,9 +315,24 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     sy = ty1 - ty0 + 1
     span = sx * sy                                     # [T]
 
-    K = _span_budget(T, NT, cfg)
-    small = valid & (span <= K)
-    big = valid & (span > K)
+    if SB > 1:
+        # Route big/small by TILE span, not fine span: strip granularity
+        # multiplies a >= tile-height triangle's fine span by up to SB,
+        # and routing on the inflated span flooded the big list at
+        # megatriangle scale (stress tile8 SB=4 measured 3804 ms in
+        # round 3 — every touched tile scanned thousands of "big" rows).
+        # A triangle is binnable iff its TILE footprint fits the budget;
+        # the fine candidate slots below scale to K_t * SB and the
+        # over-span ladder keeps their sort cost near the SB=1 cost.
+        sy_t = (ty1 >> lg) - (ty0 >> lg) + 1
+        span_t = sx * sy_t
+        K_t = _span_budget(T, (NT // SB), cfg)
+        K = K_t * SB
+        small = valid & (span_t <= K_t) & (span <= K)
+    else:
+        K = _span_budget(T, NT, cfg)
+        small = valid & (span <= K)
+    big = valid & jnp.logical_not(small)
 
     # Candidate tiles, row-major over each triangle's bbox tile rect —
     # COMPRESSED by span class at megatriangle scale. A dense [K, T]
@@ -343,7 +358,70 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     sxr = jnp.maximum(sx, 1)                           # [T]
     overflow_c = jnp.zeros((), bool)
     c = _cdiv(max(min(T, 2**14), (T // 8) * cfg.big_scale), 128) * 128
-    if K >= 3 and c <= T // 4:
+    if SB > 1 and K >= 3:
+        # Strip-granularity candidate enumeration: dense slots 0..3 (a
+        # whole [T] column per slot — at strip granularity 20-30% of
+        # triangles span >= 3 fine bins, so a single compacted class
+        # would need capacity ~T/2 and its (K-2) x c block would dwarf
+        # the dense grid) + a LADDER of compacted over-span classes
+        # with geometrically shrinking capacities (the stress span
+        # tail: 28% of tris span >= 3 fine bins at SB=4, 2.5% >= 5,
+        # 0.14% >= 9 — tools/dump_stress_tris.py). Total sorted
+        # candidates ~4.8T vs the SB=1 compressed grid's 2.75T, while
+        # per-entry kernel eval drops SBx. Ladder overflow rides the
+        # stream-overflow flag (adaptive bump), same as class C below.
+        ndense = min(K, 4)
+        parts_tile, parts_tri = [], []
+        tile0 = bin_of(ty0, tx0)
+        parts_tile.append(jnp.where(small, tile0, NT))
+        parts_tri.append(tri_idx)
+        tile_b = jnp.where(sx >= 2, tile0 + SB, bin_of(ty0 + 1, tx0))
+        parts_tile.append(jnp.where(small & (span >= 2), tile_b, NT))
+        parts_tri.append(tri_idx)
+        for j in range(2, ndense):
+            ey = j // sxr
+            ex = j - ey * sxr
+            parts_tile.append(jnp.where(small & (span > j),
+                                        bin_of(ty0 + ey, tx0 + ex), NT))
+            parts_tri.append(tri_idx)
+        if K > ndense:
+            binfo = lax.optimization_barrier(jnp.pad(
+                jnp.stack([ty0, tx0, sxr, span], axis=1),
+                ((0, 0), (0, 124))))
+            lo = ndense
+            # rungs [4, 16) and [16, K): capacities track the measured
+            # span tail with ~2-10x headroom; big_scale bumps on
+            # overflow like every other capacity
+            for hi, cap0 in ((min(16, K), max(T // 16, 2048)),
+                             (K, max(T // 512, 1024))):
+                if lo >= hi:
+                    break
+                cap = _cdiv(min(max(cap0 * cfg.big_scale, 1), T), 128) \
+                    * 128
+                wide = small & (span > lo)
+                order = jnp.where(wide, tri_idx, T)
+                csel = jnp.sort(order, stable=False)
+                if T < cap:
+                    csel = jnp.concatenate(
+                        [csel, jnp.full(cap - T, T, jnp.int32)])
+                csel = csel[:cap]
+                c_live = csel < T
+                overflow_c = overflow_c | (
+                    wide.sum(dtype=jnp.int32) > cap)
+                csel = jnp.minimum(csel, max(T - 1, 0))
+                rows = binfo[csel]                     # [cap, 128] i32
+                cty0, ctx0 = rows[:, 0][None, :], rows[:, 1][None, :]
+                csx, cspan = rows[:, 2][None, :], rows[:, 3][None, :]
+                eK = jnp.arange(lo, hi, dtype=jnp.int32)[:, None]
+                ey = eK // csx                         # [hi-lo, cap]
+                ex = eK - ey * csx
+                ctile = bin_of(cty0 + ey, ctx0 + ex)
+                c_ok = c_live[None, :] & (eK < cspan)
+                parts_tile.append(jnp.where(c_ok, ctile, NT).reshape(-1))
+                parts_tri.append(jnp.broadcast_to(
+                    csel[None, :], (hi - lo, cap)).reshape(-1))
+                lo = hi
+    elif K >= 3 and c <= T // 4:
         tile0 = bin_of(ty0, tx0)
         parts_tile = [jnp.where(small, tile0, NT)]
         parts_tri = [tri_idx]

@@ -93,3 +93,50 @@ def test_framebuffer_is_sharded():
     # output stays sharded across devices (no implicit gather)
     shards = out.sharding.device_set
     assert len(shards) == 8
+
+
+def test_pre_kernel_stage_actually_partitions():
+    """Parity-independent evidence that the triangle-sharded vertex/
+    setup/pack constraints (renderer/draw.py _batch_vertex_products /
+    _setup_batch) BIND in the compiled SPMD program — XLA deciding to
+    replicate the whole pre-kernel stage would pass every winner-parity
+    test while silently killing the SURVEY §5.8 scaling claim. Asserts,
+    from the compiled HLO of the mesh frame program:
+
+    1. the packed coefficient rows are produced PARTITIONED (an
+       f32[~T/8, 32] pack exists on each device), and
+    2. they replicate at exactly the raster pin (an all-gather whose
+       result is the full-T f32[T, 32] block, emitted for the
+       sharding_constraint in _raster_packed).
+    """
+    import re
+
+    from myrenderer_tpu.app.demo import DemoApp
+
+    mesh = make_mesh(8, rows=8, tris=1)
+    app = DemoApp(width=64, height=64, backend="pallas", mesh=mesh)
+    app.tick()
+    draw = app.draw
+    plan = draw._get_plan(app.window)
+    args = draw._gather_args(plan, app.window)
+    txt = plan.fn.lower(args).compile().as_text()
+
+    # terrain batch: 100x100 quads x 2 tris (the dominant pack block)
+    t_main = 20000
+    row_shapes = {int(m.group(1))
+                  for m in re.finditer(r"f32\[(\d+),32\]", txt)}
+    part = [n for n in row_shapes
+            if abs(n - t_main // 8) <= 64]          # per-device pack
+    assert part, (
+        f"no partitioned f32[~{t_main // 8},32] pack found; the "
+        f"pre-kernel stage compiled replicated (shapes: "
+        f"{sorted(row_shapes)})")
+
+    pin = [l for l in txt.splitlines()
+           if "all-gather" in l
+           and re.search(r"= f32\[(\d+),32\]", l)
+           and int(re.search(r"= f32\[(\d+),32\]", l).group(1))
+           >= t_main
+           and "sharding_constraint" in l]
+    assert pin, ("no full-T packed-row all-gather at the raster "
+                 "sharding pin found in the compiled program")

@@ -17,7 +17,12 @@ from myrenderer_tpu.app.stress import StressApp  # noqa: E402
 logdir = "/tmp/stressprof"
 os.system(f"rm -rf {logdir}")
 
-app = StressApp()
+raster = None
+if len(sys.argv) > 1:   # optional RasterConfig sweep spec (--raster arg)
+    from myrenderer_tpu.ops.raster_pallas import config_from_flag
+    raster = config_from_flag(sys.argv[1])
+
+app = StressApp(raster=raster)
 app.tick()
 jax.block_until_ready(app.window.framebuffer)
 print("warm; tracing one frame", flush=True)
