@@ -69,13 +69,24 @@ class Polygon:
 
     GPU_VERTEX_LAYOUT = VertexLayout.create([("pos", 2), ("color", 3)])
 
-    def __init__(self, renderer, seed: int = 0):
+    def __init__(self, renderer, seed: int = 0,
+                 device_triangulation: bool = False):
+        """``device_triangulation``: triangulate polygons with the
+        jitted on-device ear clipper (``geometry/device_tri.py``,
+        BASELINE.json:5 "vectorized on device") instead of the host
+        Seidel path. Both produce valid triangulations with identical
+        rasterized coverage (tests/test_device_tri.py); the triangle
+        DIAGONALS generally differ, so interior palette boundaries
+        shift — the default stays host Seidel to keep golden images
+        stable (the reference's own triangulation order is
+        crypto-seeded and run-varying, ``unirand.zig:31``)."""
         self.renderer = renderer
         self.pipeline = Pipeline.create(
             renderer, vertex_fn=_vertex_fn,
             bindings=[BindingLayout(0, BUILTIN_TRANSFORM)],
             vertex_layout=self.GPU_VERTEX_LAYOUT)
         self.triangulation = Triangulation(seed)
+        self.device_triangulation = device_triangulation
         self.polygons: list[PolygonHandle] = []
 
     def init(self):  # parity no-op (pipeline built in __init__)
@@ -97,7 +108,13 @@ class Polygon:
             rows[i, 2:5] = color
             state["i"] += 1
 
-        self.triangulation.create_polygon(vertices, emit)
+        if self.device_triangulation:
+            from ..geometry.device_tri import triangulate_device
+            cap = max(32, n)
+            for point in triangulate_device(vertices, capacity=cap):
+                emit(point)
+        else:
+            self.triangulation.create_polygon(vertices, emit)
         if state["i"] != vb.vertex_count:
             raise ValueError(
                 f"triangulation emitted {state['i']} vertices, expected "
