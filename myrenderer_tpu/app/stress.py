@@ -75,11 +75,11 @@ class StressApp:
         # megatriangle tuning: 8-row tiles cut the kernel's per-entry
         # pixel waste at sub-pixel triangle sizes (median bbox 2.3 px^2
         # here) — split-frame binning keeps the fused u32 bin sort
-        # available at this tile height; chunk 32 balances boundary
-        # waste vs per-chunk fixed cost (chunk 64 measured faster ONLY
-        # under the since-reverted z-plane setup rework — re-measure on
-        # this code before changing: BASELINE.md batch 5). The
-        # demo-scale default stays 32-row tiles / chunk 16.
+        # available at this tile height. Chunk 64 re-measured on the
+        # homogeneous (zn/wn) code in round 4: 76.4/76.9 ms vs
+        # 79.3-79.9 anchors in the same batch (VERDICT r3 lever 3) —
+        # now the default. The demo-scale default stays 32-row tiles /
+        # chunk 16.
         from ..ops.raster_pallas import RasterConfig
         # stream_factor 1.6: occupancy analysis said the worst orbit
         # group needs >= 1.42x T stream rows; the hardware sweep
@@ -87,7 +87,7 @@ class StressApp:
         # at the safe 2.0 default — less dead slack sorts ahead of
         # the live incidences and the gather shrinks.
         self.renderer.raster_cfg = raster or RasterConfig(
-            tile_h=8, chunk=32, stream_factor=1.6)
+            tile_h=8, chunk=64, stream_factor=1.6)
 
         hm = default_heightmap(terrain_size)
         terrain_mod = Terrain(self.renderer)

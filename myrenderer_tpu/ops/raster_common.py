@@ -555,7 +555,21 @@ def coverage_depth(tc_row_px, px, py, row_mask=None):
     # the triangle's depth window: z in [zhi - 1, zhi]. For plain
     # surfaces the window is [0, 1]; for layer-biased merged surfaces
     # it enforces each layer's near/far clip.
-    cov = cov & (wn > 0) & (z >= zhi - 1.0) & (z <= zhi)
+    #
+    # No explicit wn > 0 test (2 fewer (rows, pixels) ops in the
+    # kernel's hottest loop): at edge-covered pixels wn = sum e_k w_k
+    # is a sum of nonneg-times-positive terms — every valid triangle
+    # has all w_k > W_EPS (triangle_setup w_ok; eye-plane straddlers
+    # are clipped to w >= W_CLIP first), and coverage bounds each e_k
+    # above -_TL_EPS (the smallest normal), so wn > -3e-38 * max_w.
+    # The only reachable non-positive wn is a subnormal-scale corner
+    # (all three |e_k| < _TL_EPS simultaneously), where z = zn / wn is
+    # NaN or a wild ratio: NaN fails both window compares below, and
+    # the wild-ratio-lands-in-window case needs every edge value
+    # within 1e-38 of zero — not representable for real scene
+    # coefficients. Both backends share this rule, so oracle/kernel
+    # stay bit-identical by construction.
+    cov = cov & (z >= zhi - 1.0) & (z <= zhi)
     return cov, z
 
 

@@ -106,54 +106,28 @@ class RasterConfig:
     auto_span: bool = True        # scale the span budget with the tile
                                   # grid (see _span_budget); False pins
                                   # it to max_tiles_per_tri exactly
-    subtiles: int = 1             # strip raster granularity: bin and
-                                  # evaluate at tile_h/subtiles-px
-                                  # full-width ROW strips (1/2/4/8).
-                                  # Each stream entry evaluates ONLY
-                                  # its own strip's (tile_h/SB, tile_w)
-                                  # pixels — the lever against
-                                  # sub-tile-sized triangles wasting
-                                  # most of a tile's lanes (the demo
-                                  # median triangle covers ~10% of an
-                                  # 8x128 tile; the stretch median
-                                  # ~2 px) AND against per-program
-                                  # fixed costs (strips give tile_h=8
-                                  # eval granularity inside tile_h=32
-                                  # programs). Row strips, not columns:
-                                  # the native y-major flattening makes
-                                  # a strip a lane-contiguous slice
-                                  # (column slices need sub-128-lane
-                                  # reshapes Mosaic rejects). Kernel
-                                  # out blocks stay (tile_h, tile_w);
-                                  # only binning and in-kernel eval
-                                  # shapes change.
-    packed_stream: bool = False   # pack 4 coefficient records per
-                                  # 128-lane stream row (the records
-                                  # are 32 lanes; the padded [S, 128]
-                                  # layout wastes 3/4 of the gather
-                                  # output bytes and of the kernel's
-                                  # window DMA traffic). The stream
-                                  # build becomes a narrow
-                                  # slice-gather ([S, 32]) + one
-                                  # row-major reshape; the kernel
-                                  # evaluates each window row as 4
-                                  # consecutive entries at lane bases
-                                  # 0/32/64/96 (order-free exact: the
-                                  # depth resolve's id tie-break is
-                                  # submission-order regardless of
-                                  # arrival order). Requires
-                                  # subtiles == bands == tiles_x == 1
-                                  # and chunk/window multiples of 32.
+    # PRUNED knobs (round 4, VERDICT r3 lever 5): ``subtiles`` (row-
+    # strip binning/eval, built round 3) and ``packed_stream`` (4
+    # records per 128-lane stream row) were measured net-negative on
+    # hardware in every configuration — packed_stream ~40x (VPU
+    # serialization on single-lane unpacks), subtiles 2-6x even after
+    # round 4 fixed its big-list routing to tile-granularity spans and
+    # gave it a laddered candidate enumeration (stress tile8: SB=2
+    # 165 ms, SB=4 471 ms vs 79 ms default, BASELINE.md round 4). The
+    # code was carrying a 4-way compatibility matrix through the hot
+    # kernel for paths nothing should enable; both were removed — see
+    # git history (<= round-4 commits) to resurrect, and BASELINE.md
+    # for the measurements and the routing/ladder design notes.
     interpret: bool = False      # Pallas interpreter (CPU testing)
 
 
 DEFAULT_CONFIG = RasterConfig()
 
 RASTER_FLAG_HELP = ("RasterConfig override 'th,tw,chunk,window[,tiles_x"
-                    "[,span_budget[,bands[,subtiles[,sf10[,ps]]]]]]' "
+                    "[,span_budget[,bands[,RESERVED[,sf10]]]]]' "
                     "(kernel tuning sweeps; span_budget 0 keeps auto; "
                     "sf10 = stream_factor in tenths, e.g. 15 -> 1.5; "
-                    "ps = packed_stream 0/1)")
+                    "slot 8 was subtiles — pruned round 4, must be 0)")
 
 
 def config_from_flag(spec: str) -> RasterConfig:
@@ -164,6 +138,13 @@ def config_from_flag(spec: str) -> RasterConfig:
     binds because 0 is not a legal value)."""
     vals = [int(v) for v in spec.split(",")]
     th, tw, chunk, window = vals[:4]
+    if len(vals) > 7 and vals[7]:
+        raise ValueError("subtiles (slot 8) was pruned in round 4 "
+                         "(measured net-negative everywhere; "
+                         "BASELINE.md) — pass 0")
+    if len(vals) > 9 and vals[9]:
+        raise ValueError("packed_stream (slot 10) was pruned in round "
+                         "4 (measured ~40x net-negative; BASELINE.md)")
     return RasterConfig(
         tile_h=th, tile_w=tw, chunk=chunk, stream_window=window,
         # tiles_x defaults to the RasterConfig default (1): multi-tile
@@ -173,10 +154,8 @@ def config_from_flag(spec: str) -> RasterConfig:
         **({"max_tiles_per_tri": vals[5], "auto_span": False}
            if len(vals) > 5 and vals[5] else {}),
         **({"bands": vals[6]} if len(vals) > 6 and vals[6] else {}),
-        **({"subtiles": vals[7]} if len(vals) > 7 and vals[7] else {}),
         **({"stream_factor": vals[8] / 10.0}
-           if len(vals) > 8 and vals[8] else {}),
-        **({"packed_stream": bool(vals[9])} if len(vals) > 9 else {}))
+           if len(vals) > 8 and vals[8] else {}))
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -283,24 +262,16 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     row blocks only, never interleaved corner arrays."""
     vp_height = height if vp_height is None else vp_height
     y0 = jnp.asarray(y0, jnp.float32)
-    SB = cfg.subtiles
-    lg = SB.bit_length() - 1            # SB is a power of two
     nty = _cdiv(height, cfg.tile_h)
     ntx = _cdiv(width, cfg.tile_w)      # tile columns (= kernel grid)
-    th_bin = cfg.tile_h // SB           # bin-row height in px
-    NT = nty * ntx * SB                 # bins: SB row strips per tile,
-                                        # subtile-minor order (a tile's
-                                        # SB segments are consecutive)
+    NT = nty * ntx                      # bins == kernel tiles
     B, _chunk = _big_geometry(cfg)
     W = cfg.stream_window
     T = valid.shape[0]
 
-    def bin_of(fy, tx):
-        """Global bin id of (fine row ``fy``, tile column ``tx``):
-        (tile row, tile col, strip)-major — a tile's SB strips are
-        consecutive, so the kernel streams one contiguous range per
-        tile. SB is a power of two: the decode is shift/mask."""
-        return ((fy >> lg) * ntx + tx) * SB + (fy & (SB - 1))
+    def bin_of(ty, tx):
+        """Global bin id of (tile row ``ty``, tile column ``tx``)."""
+        return ty * ntx + tx
 
     minx = jnp.clip(jnp.floor(bbox[0]), 0, width - 1)
     maxx = jnp.clip(jnp.ceil(bbox[1]), 0, width - 1)
@@ -309,29 +280,14 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
 
     tx0 = (minx / cfg.tile_w).astype(jnp.int32)
     tx1 = (maxx / cfg.tile_w).astype(jnp.int32)
-    ty0 = (miny / th_bin).astype(jnp.int32)      # FINE rows
-    ty1 = (maxy / th_bin).astype(jnp.int32)
+    ty0 = (miny / cfg.tile_h).astype(jnp.int32)
+    ty1 = (maxy / cfg.tile_h).astype(jnp.int32)
     sx = tx1 - tx0 + 1
     sy = ty1 - ty0 + 1
     span = sx * sy                                     # [T]
 
-    if SB > 1:
-        # Route big/small by TILE span, not fine span: strip granularity
-        # multiplies a >= tile-height triangle's fine span by up to SB,
-        # and routing on the inflated span flooded the big list at
-        # megatriangle scale (stress tile8 SB=4 measured 3804 ms in
-        # round 3 — every touched tile scanned thousands of "big" rows).
-        # A triangle is binnable iff its TILE footprint fits the budget;
-        # the fine candidate slots below scale to K_t * SB and the
-        # over-span ladder keeps their sort cost near the SB=1 cost.
-        sy_t = (ty1 >> lg) - (ty0 >> lg) + 1
-        span_t = sx * sy_t
-        K_t = _span_budget(T, (NT // SB), cfg)
-        K = K_t * SB
-        small = valid & (span_t <= K_t) & (span <= K)
-    else:
-        K = _span_budget(T, NT, cfg)
-        small = valid & (span <= K)
+    K = _span_budget(T, NT, cfg)
+    small = valid & (span <= K)
     big = valid & jnp.logical_not(small)
 
     # Candidate tiles, row-major over each triangle's bbox tile rect —
@@ -358,76 +314,13 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     sxr = jnp.maximum(sx, 1)                           # [T]
     overflow_c = jnp.zeros((), bool)
     c = _cdiv(max(min(T, 2**14), (T // 8) * cfg.big_scale), 128) * 128
-    if SB > 1 and K >= 3:
-        # Strip-granularity candidate enumeration: dense slots 0..3 (a
-        # whole [T] column per slot — at strip granularity 20-30% of
-        # triangles span >= 3 fine bins, so a single compacted class
-        # would need capacity ~T/2 and its (K-2) x c block would dwarf
-        # the dense grid) + a LADDER of compacted over-span classes
-        # with geometrically shrinking capacities (the stress span
-        # tail: 28% of tris span >= 3 fine bins at SB=4, 2.5% >= 5,
-        # 0.14% >= 9 — tools/dump_stress_tris.py). Total sorted
-        # candidates ~4.8T vs the SB=1 compressed grid's 2.75T, while
-        # per-entry kernel eval drops SBx. Ladder overflow rides the
-        # stream-overflow flag (adaptive bump), same as class C below.
-        ndense = min(K, 4)
-        parts_tile, parts_tri = [], []
-        tile0 = bin_of(ty0, tx0)
-        parts_tile.append(jnp.where(small, tile0, NT))
-        parts_tri.append(tri_idx)
-        tile_b = jnp.where(sx >= 2, tile0 + SB, bin_of(ty0 + 1, tx0))
-        parts_tile.append(jnp.where(small & (span >= 2), tile_b, NT))
-        parts_tri.append(tri_idx)
-        for j in range(2, ndense):
-            ey = j // sxr
-            ex = j - ey * sxr
-            parts_tile.append(jnp.where(small & (span > j),
-                                        bin_of(ty0 + ey, tx0 + ex), NT))
-            parts_tri.append(tri_idx)
-        if K > ndense:
-            binfo = lax.optimization_barrier(jnp.pad(
-                jnp.stack([ty0, tx0, sxr, span], axis=1),
-                ((0, 0), (0, 124))))
-            lo = ndense
-            # rungs [4, 16) and [16, K): capacities track the measured
-            # span tail with ~2-10x headroom; big_scale bumps on
-            # overflow like every other capacity
-            for hi, cap0 in ((min(16, K), max(T // 16, 2048)),
-                             (K, max(T // 512, 1024))):
-                if lo >= hi:
-                    break
-                cap = _cdiv(min(max(cap0 * cfg.big_scale, 1), T), 128) \
-                    * 128
-                wide = small & (span > lo)
-                order = jnp.where(wide, tri_idx, T)
-                csel = jnp.sort(order, stable=False)
-                if T < cap:
-                    csel = jnp.concatenate(
-                        [csel, jnp.full(cap - T, T, jnp.int32)])
-                csel = csel[:cap]
-                c_live = csel < T
-                overflow_c = overflow_c | (
-                    wide.sum(dtype=jnp.int32) > cap)
-                csel = jnp.minimum(csel, max(T - 1, 0))
-                rows = binfo[csel]                     # [cap, 128] i32
-                cty0, ctx0 = rows[:, 0][None, :], rows[:, 1][None, :]
-                csx, cspan = rows[:, 2][None, :], rows[:, 3][None, :]
-                eK = jnp.arange(lo, hi, dtype=jnp.int32)[:, None]
-                ey = eK // csx                         # [hi-lo, cap]
-                ex = eK - ey * csx
-                ctile = bin_of(cty0 + ey, ctx0 + ex)
-                c_ok = c_live[None, :] & (eK < cspan)
-                parts_tile.append(jnp.where(c_ok, ctile, NT).reshape(-1))
-                parts_tri.append(jnp.broadcast_to(
-                    csel[None, :], (hi - lo, cap)).reshape(-1))
-                lo = hi
-    elif K >= 3 and c <= T // 4:
+    if K >= 3 and c <= T // 4:
         tile0 = bin_of(ty0, tx0)
         parts_tile = [jnp.where(small, tile0, NT)]
         parts_tri = [tri_idx]
         # slot 1: (tx0+1, ty0) when the bbox is >= 2 tiles wide, else
-        # (tx0, ty0+1) — row-major rank 1 of the (fine-row x col) rect
-        tile_b = jnp.where(sx >= 2, tile0 + SB, bin_of(ty0 + 1, tx0))
+        # (tx0, ty0+1) — row-major rank 1 of the (tile row x col) rect
+        tile_b = jnp.where(sx >= 2, tile0 + 1, bin_of(ty0 + 1, tx0))
         parts_tile.append(jnp.where(small & (span >= 2), tile_b, NT))
         parts_tri.append(tri_idx)
         # compact span>=3 triangles: their (ty0, tx0, sx, span) rows
@@ -532,23 +425,13 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     def gather_stream(idx):
         """Bin-order coefficient stream from the 128-lane-padded table
         (wide SOURCE rows gather ~5x faster than narrow ones —
-        BASELINE.md). Default: one padded record per stream row
-        ([S, 128], 3/4 of the bytes are pad). ``packed_stream``: a
-        narrow slice-gather ([S, LANES=32]) + one row-major reshape
-        packs 4 consecutive entries per 128-lane row, quartering the
-        gather output and the kernel's window DMA traffic."""
-        if not cfg.packed_stream:
-            return packed128[idx]
-        gd = lax.GatherDimensionNumbers(offset_dims=(1,),
-                                        collapsed_slice_dims=(0,),
-                                        start_index_map=(0,))
-        rows = lax.gather(packed128, idx[:, None], gd,
-                          slice_sizes=(1, LANES),
-                          mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-        return rows.reshape(idx.shape[0] // 4, 4 * LANES)
+        BASELINE.md): one padded record per stream row ([S, 128], 3/4
+        of the bytes are pad — the gather is row-overhead bound, not
+        bandwidth bound, so the pad is free throughput-wise)."""
+        return packed128[idx]
 
     def group_space(rows: int) -> int:
-        return (rows * ntx * SB + 1) * (T + 1)
+        return (rows * ntx + 1) * (T + 1)
 
     F = 1
     while F < min(nty, 32) and group_space(_cdiv(nty, F)) >= 2**32:
@@ -565,8 +448,8 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
         Sg = _cdiv(_cdiv(S_total, F), W) * W     # capacity per group
         starts_l, counts_l, streams, live_l = [], [], [], []
         for g in range(F):
-            base = g * rpg * ntx * SB
-            ntg = min(rpg, nty - g * rpg) * ntx * SB
+            base = g * rpg * ntx
+            ntg = min(rpg, nty - g * rpg) * ntx
             if ntg <= 0:     # ceil split: only trailing groups can be
                 break        # empty; they own no tiles and no stream
             in_g = (tile_flat >= base) & (tile_flat < base + ntg)
@@ -664,7 +547,7 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     slotv = jnp.arange(B, dtype=jnp.int32)
     big_live = slotv < big_count                       # [B]
     btx0, btx1 = tx0[big_ids], tx1[big_ids]
-    bty0, bty1 = ty0[big_ids] >> lg, ty1[big_ids] >> lg   # tile rows
+    bty0, bty1 = ty0[big_ids], ty1[big_ids]               # tile rows
     tile_range_t = jnp.arange(nty * ntx, dtype=jnp.int32)
     t_y = tile_range_t // ntx
     t_x = tile_range_t % ntx
@@ -687,8 +570,7 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                    stream_scratch, dma_sems,
                    *, tile_h: int, tile_w: int,
                    chunk: int, window: int, tiles_x: int, ntx: int,
-                   bands: int = 1, subtiles: int = 1,
-                   packed: bool = False):
+                   bands: int = 1):
     """One program = ``bands`` consecutive (tile_h, tile_w) fine tiles
     along y (an in-kernel fori loop — per-program fixed costs and
     in/out block DMAs amortize across bands WITHOUT unrolling the body,
@@ -707,49 +589,25 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
     (G, THW) outer-product FMAs with a min-reduce depth resolve
     (lowest-id tie-break == submission-order 'less' semantics).
 
-    With ``subtiles`` = SB > 1, binning ran on an SB-x-finer ROW grid
-    (tile_h/SB-px full-width row strips, strip-minor order — a tile's
-    SB CSR segments are CONSECUTIVE in the stream, so the window DMA
-    machinery is untouched) and each stream row evaluates ONLY its own
-    strip's (tile_h/SB, tile_w) pixels: the per-entry eval cost drops
-    SBx for triangles shorter than a tile. Row strips (not column
-    slices) because the native (tile_h, tile_w) -> (1, THW) flattening
-    is y-major: a strip is a lane-contiguous, vreg-aligned range of the
-    flat vector, so strip extract/reassemble are supported lane
-    slices/concats (a column slice needs a 64-lane reshape Mosaic
-    rejects: "infer-vector-layout: unsupported shape cast"). Each
-    entry's strip comes from its stream position vs the SB-1 interior
-    CSR bounds; winner resolution is per-strip via masked reduces and
-    exact select chains, and the winner's varying planes are recovered
+The winner's varying-plane COEFFICIENTS are recovered per chunk
     with an at-most-one-nonzero-per-output matmul on the (otherwise
-    idle) MXU — exactly ONE row wins per (strip, pixel), so any
-    reduction order/precision reproduces the winning row's f32 plane
-    value exactly. Big-list triangles evaluate against all SB strips
-    (same total lanes as the SB=1 full-tile eval)."""
+    idle) MXU — exactly ONE row wins per pixel, so the fp32-precision
+    contraction reproduces the winning row's f32 plane value exactly."""
     THW = tile_h * tile_w
     G = chunk
     W = window
     R = tiles_x
     B = bands
-    SB = subtiles
-    RH = tile_h // SB             # strip height in px
-    THWS = RH * tile_w
     ty_c = pl.program_id(0)
     txg = pl.program_id(1)
     nty_c = pl.num_programs(0)
 
-    # packed_stream: 4 consecutive entries per 128-lane stream row, so
-    # a W-ENTRY window is W/4 rows and a G-entry chunk is G/4 rows
-    WR = W // 4 if packed else W
-    GR = G // 4 if packed else G
-
     def window_dma(blk, slot):
         return pltpu.make_async_copy(
-            stream_hbm.at[pl.ds(blk * WR, WR), :],
+            stream_hbm.at[pl.ds(blk * W, W), :],
             stream_scratch.at[slot], dma_sems.at[slot])
 
     r_iota = lax.broadcasted_iota(jnp.int32, (G, 1), 0)
-    r_iota_p = lax.broadcasted_iota(jnp.int32, (GR, 1), 0)
     flat = lax.broadcasted_iota(jnp.int32, (1, THW), 1)
 
     def tile_body(r, tx, px, b):
@@ -761,41 +619,24 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
         # shards); coverage/depth math runs in GLOBAL pixel coordinates
         py_full = ((flat // tile_w) + fy * tile_h + y0_ref[0]).astype(
             jnp.float32) + 0.5
-        if SB > 1:
-            # strip pixel grids: per-strip flat index = y_local*tile_w
-            # + x (the native y-major order); an entry's py adds its
-            # own strip's row offset (strip sb covers tile rows
-            # [sb*RH, (sb+1)*RH))
-            flat_s = lax.broadcasted_iota(jnp.int32, (1, THWS), 1)
-            px_sub = ((flat_s % tile_w) + tx * tile_w).astype(
-                jnp.float32) + 0.5
-            py_sub0 = ((flat_s // tile_w) + fy * tile_h
-                       + y0_ref[0]).astype(jnp.float32) + 0.5
 
-        # CSR bins are at SUBTILE granularity (subtile-minor order):
-        # the tile's SB consecutive segments stream as one range
-        tb = t * SB
-        start = starts_ref[tb]
-        end = starts_ref[tb + SB - 1] + counts_ref[tb + SB - 1]
+        start = starts_ref[t]
+        end = start + counts_ref[t]
         n = end - start
-        # interior subtile bounds (stream positions >= sbounds[i-1]
-        # belong to subtile >= i)
-        sbounds = [starts_ref[tb + i] for i in range(1, SB)]
         # skip the shared big-triangle loop on untouched tiles
         nbig = jnp.where(big_touch_ref[t] > 0, big_count_ref[0], 0)
 
-        def eval_block(sub, lane_base, live, carry, px=px, py=None):
-            """sub: (g, >= lane_base + LANES) coefficient rows — a
-            (G, 128) stream window slice or the (g, 32) big-list rows.
+        def eval_block(sub, live, carry):
+            """sub: (g, >= LANES) coefficient rows — a (G, 128)
+            stream window slice or the (g, 32) big-list rows.
             live: (g, 1) slot mask. Coefficients are consumed as
             single-lane slices (cheap at any static lane offset)."""
-            if py is None:
-                py = py_full
+            py = py_full
             depth, winner, nums, den = carry
             g = sub.shape[0]
 
             def lane(k):
-                return sub[:, lane_base + k:lane_base + k + 1]
+                return sub[:, k:k + 1]
 
             scalars = tuple(lane(k) for k in range(rc.COEFF_LANES))
             # live/validity fold into the edge threshold: no (g, THW)
@@ -826,14 +667,13 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             # (g, THW) VPU sum-reduces: exactly ONE row of ``wf`` is
             # nonzero per pixel lane, so every other term of the dot's
             # reduction is an exact f32 0.0 and any reduction order/
-            # precision reproduces the winning row's coefficient bits
-            # (eval_block_sub recovers per strip the same way). The
+            # precision reproduces the winning row's coefficient bits. The
             # plane value is then the SAME a*px + b*py + c expression
             # as before, on the same coefficient bits — bit-identical
             # output, ~25 fewer (g, THW) vector ops per chunk.
             is_win_row = cov & (zm == zmin) & (ids == idmin)
             wf = is_win_row.astype(jnp.float32)
-            cf = sub[:, lane_base + 16:lane_base + 32]     # id + 5 planes
+            cf = sub[:, 16:32]                             # id + 5 planes
             # precision=HIGHEST is LOAD-BEARING on hardware: it is the
             # only setting Mosaic lowers as fp32 contraction
             # (#tpu.contract_precision<fp32>); the default truncates the
@@ -860,92 +700,6 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                     tuple(jnp.where(win, nc, old)
                           for nc, old in zip(nums_c, nums)),
                     jnp.where(win, den_c, den))
-
-        def eval_block_sub(sub, live, sb_r, carry):
-            """Strip-granularity binned eval (SB > 1): each entry
-            evaluates ONLY its own strip's (RH, tile_w) pixels.
-            ``sb_r`` (g, 1) i32 = each entry's strip; ``carry`` is a
-            tuple of SB per-strip (depth, winner, nums, den) tuples,
-            each over (1, THWS) lanes."""
-            g = sub.shape[0]
-
-            def lane(k):
-                return sub[:, k:k + 1]
-
-            scalars = tuple(lane(k) for k in range(rc.COEFF_LANES))
-            # entry r's pixels: its own strip's y-range
-            pyr = py_sub0 + (sb_r * RH).astype(jnp.float32)  # (g, THWS)
-            cov, z = rc.coverage_depth(scalars, px_sub, pyr,
-                                       row_mask=live)
-            zm = jnp.where(cov, z, jnp.float32(jnp.inf))
-            ids = jnp.broadcast_to(lane(16), zm.shape)
-            # per-subtile winner resolve: min over the rows of each
-            # subtile only (rows of other subtiles hold different
-            # pixels at the same lane)
-            zmin_s, idmin_s, masks = [], [], []
-            for sb in range(SB):
-                m = sb_r == sb                             # (g, 1)
-                zs = jnp.where(m, zm, jnp.float32(jnp.inf))
-                zmin = jnp.min(zs, axis=0, keepdims=True)  # (1, THWS)
-                idm = jnp.min(jnp.where(zs == zmin, ids,
-                                        jnp.float32(3e38)),
-                              axis=0, keepdims=True)
-                zmin_s.append(zmin)
-                idmin_s.append(idm)
-                masks.append(m)
-            # per-row reference values of the row's OWN subtile (exact
-            # select chain — comparisons must see the exact f32 bits)
-            zmin_r, idmin_r = zmin_s[0], idmin_s[0]
-            for sb in range(1, SB):
-                zmin_r = jnp.where(masks[sb], zmin_s[sb], zmin_r)
-                idmin_r = jnp.where(masks[sb], idmin_s[sb], idmin_r)
-            is_win_row = cov & (zm == zmin_r) & (ids == idmin_r)
-            wf = is_win_row.astype(jnp.float32)
-
-            # winner's varying-plane COEFFICIENTS, recovered per strip
-            # with one (g, 16) x (g, THWS) MXU dot each — the same
-            # formulation as eval_block: exactly ONE row wins per
-            # (strip, lane) (a row's zmin_r/idmin_r reference its OWN
-            # strip), so every other term of the dot's reduction is an
-            # exact f32 0.0 and any reduction order/precision
-            # reproduces the winning row's coefficient bits. The plane
-            # value is then the SAME a*px + b*py + c expression as
-            # eval_block, on the same coefficient bits — SB > 1 output
-            # stays bit-identical to the SB = 1 path.
-            cf = sub[:, 16:32]                             # id + 5 planes
-            # precision=HIGHEST: see eval_block — anything lower
-            # truncates cf to bf16 on the MXU (ADVICE r3)
-            wc_s = [lax.dot_general(cf, jnp.where(masks[sb], wf, 0.0),
-                                    (((0,), (0,)), ((), ())),
-                                    precision=lax.Precision.HIGHEST,
-                                    preferred_element_type=jnp.float32)
-                    for sb in range(SB)]                   # (16, THWS)
-
-            out = []
-            for sb in range(SB):
-                wc = wc_s[sb]
-                py_s = py_sub0 + jnp.float32(sb * RH)
-
-                def plane(ka, kb, kc, wc=wc, py_s=py_s):
-                    # ka/kb/kc are record-relative lanes; wc row = lane - 16
-                    return (wc[ka - 16:ka - 15] * px_sub
-                            + wc[kb - 16:kb - 15] * py_s
-                            + wc[kc - 16:kc - 15])
-
-                den_c = plane(17, 18, 19)
-                nums_c = tuple(plane(20 + 3 * ch, 21 + 3 * ch, 22 + 3 * ch)
-                               for ch in range(4))
-                depth, winner, nums, den = carry[sb]
-                zmin = zmin_s[sb]
-                idw = idmin_s[sb].astype(jnp.int32)
-                win = (zmin < depth) | ((zmin == depth) & (idw < winner))
-                out.append((
-                    jnp.where(win, zmin, depth),
-                    jnp.where(win, idw, winner),
-                    tuple(jnp.where(win, nums_c[ch], nums[ch])
-                          for ch in range(4)),
-                    jnp.where(win, den_c, den)))
-            return tuple(out)
 
         # --- binned triangles: double-buffered stream windows ----------
         # one entry per 128-lane stream row (lanes [COEFF..128) = pad);
@@ -979,52 +733,21 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             c1 = lax.div(jnp.minimum(end - wbase, W) + G - 1, G)
 
             def chunk_body(ci, carry):
-                if packed:
-                    # 4 consecutive entries per row at lane bases
-                    # 0/32/64/96: four quarter-size eval passes (order
-                    # across passes is free — the id tie-break is
-                    # submission-order regardless of arrival order)
-                    rows = stream_scratch[slot, pl.ds(ci * GR, GR), :]
-                    for j in range(4):
-                        pos = wbase + ci * G + 4 * r_iota_p + j
-                        live = (pos >= start) & (pos < end)
-                        carry = eval_block(rows, 32 * j, live, carry)
-                    return carry
                 rows = stream_scratch[slot, pl.ds(ci * G, G), :]
                 pos = wbase + ci * G + r_iota
                 live = (pos >= start) & (pos < end)
-                if SB == 1:
-                    return eval_block(rows, 0, live, carry)
-                sb_r = jnp.zeros_like(pos)
-                for bnd in sbounds:
-                    sb_r = sb_r + (pos >= bnd).astype(jnp.int32)
-                return eval_block_sub(rows, live, sb_r, carry)
+                return eval_block(rows, live, carry)
 
             return lax.fori_loop(c0, c1, chunk_body, carry)
 
         boff = b * tile_h      # static when B == 1 (b is a python int)
-        if SB == 1:
-            carry = (depth_in_ref[pl.ds(boff, tile_h),
-                                  r * tile_w:(r + 1) * tile_w]
-                     .reshape(1, THW),
-                     jnp.full((1, THW), -1, jnp.int32),
-                     tuple(jnp.zeros((1, THW), jnp.float32)
-                           for _ in range(4)),
-                     jnp.ones((1, THW), jnp.float32))
-        else:
-            # strip sb of the depth block = lanes [sb*THWS, (sb+1)*THWS)
-            # of the native y-major flattening — a supported, vreg-
-            # aligned lane slice (no sub-128-lane reshape)
-            dflat = depth_in_ref[pl.ds(boff, tile_h),
-                                 r * tile_w:(r + 1) * tile_w].reshape(
-                1, THW)
-            carry = tuple(
-                (dflat[:, sb * THWS:(sb + 1) * THWS],
-                 jnp.full((1, THWS), -1, jnp.int32),
-                 tuple(jnp.zeros((1, THWS), jnp.float32)
+        carry = (depth_in_ref[pl.ds(boff, tile_h),
+                              r * tile_w:(r + 1) * tile_w]
+                 .reshape(1, THW),
+                 jnp.full((1, THW), -1, jnp.int32),
+                 tuple(jnp.zeros((1, THW), jnp.float32)
                        for _ in range(4)),
-                 jnp.ones((1, THWS), jnp.float32))
-                for sb in range(SB))
+                 jnp.ones((1, THW), jnp.float32))
         carry = lax.fori_loop(0, nblk, block_body, carry)
 
         # epilogue: prefetch the first window of the next tile IN
@@ -1041,9 +764,8 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
 
         @pl.when(jnp.logical_not(last))
         def _():
-            nstart = starts_ref[t_next * SB]
-            nn = (starts_ref[t_next * SB + SB - 1]
-                  + counts_ref[t_next * SB + SB - 1]) - nstart
+            nstart = starts_ref[t_next]
+            nn = counts_ref[t_next]
             nblk0 = lax.div(nstart, W)
             # always re-transfer, even when the next tile's first
             # window is the one just used: the next tile WILL wait on
@@ -1052,46 +774,23 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
             def _():
                 window_dma(nblk0, lax.rem(nblk0, 2)).start()
 
-        # big triangles after binned ones (order-free: id tie-break).
-        # SB > 1: each big row evaluates against ALL strips (same
-        # total lanes as the SB=1 full-tile eval, SB smaller passes).
+        # big triangles after binned ones (order-free: id tie-break)
         def big_chunk(ci, carry, nbig=nbig, eval_block=eval_block):
             sub = big_ref[0, pl.ds(ci * G, G), :]
             slot = r_iota + ci * G
             live = slot < nbig
-            if SB == 1:
-                return eval_block(sub, 0, live, carry)
-            return tuple(
-                eval_block(sub, 0, live, carry[sb],
-                           px=px_sub,
-                           py=py_sub0 + jnp.float32(sb * RH))
-                for sb in range(SB))
+            return eval_block(sub, live, carry)
 
         carry = lax.fori_loop(0, lax.div(nbig + G - 1, G), big_chunk,
                               carry)
 
         # fused f32 out lanes: [0]=depth, [1]=den, [2:6]=varying nums
-        if SB == 1:
-            depth, winner, nums, den = carry
-            fused_tile = jnp.concatenate(
-                [depth.reshape(1, tile_h, tile_w),
-                 den.reshape(1, tile_h, tile_w)]
-                + [nc.reshape(1, tile_h, tile_w) for nc in nums], axis=0)
-            winner_tile = winner.reshape(tile_h, tile_w)
-        else:
-            # reassemble (tile_h, tile_w) from SB per-strip (1, THWS)
-            # lane blocks: lane-axis concat back to the native y-major
-            # flat vector, then ONE supported full-block reshape
-            def tile_of(parts):
-                return jnp.concatenate(parts, axis=1).reshape(
-                    tile_h, tile_w)
-
-            fused_tile = jnp.concatenate(
-                [tile_of([carry[sb][0] for sb in range(SB)])[None],
-                 tile_of([carry[sb][3] for sb in range(SB)])[None]]
-                + [tile_of([carry[sb][2][ch] for sb in range(SB)])[None]
-                   for ch in range(4)], axis=0)
-            winner_tile = tile_of([carry[sb][1] for sb in range(SB)])
+        depth, winner, nums, den = carry
+        fused_tile = jnp.concatenate(
+            [depth.reshape(1, tile_h, tile_w),
+             den.reshape(1, tile_h, tile_w)]
+            + [nc.reshape(1, tile_h, tile_w) for nc in nums], axis=0)
+        winner_tile = winner.reshape(tile_h, tile_w)
         fused_ref[:, pl.ds(boff, tile_h),
                   r * tile_w:(r + 1) * tile_w] = fused_tile
         winner_ref[pl.ds(boff, tile_h),
@@ -1173,21 +872,6 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
         raise ValueError(f"stream_window ({W}) must be a multiple of "
                          f"chunk ({chunk}) and of 8 (DMA sublane "
                          "alignment of the stream)")
-    if cfg.subtiles not in (1, 2, 4, 8) or cfg.tile_h % cfg.subtiles:
-        raise ValueError(f"subtiles ({cfg.subtiles}) must be 1, 2, 4 or "
-                         f"8 and divide tile_h ({cfg.tile_h})")
-    if cfg.subtiles > 1 and (cfg.bands > 1 or cfg.tiles_x > 1):
-        raise ValueError("subtiles > 1 requires bands == tiles_x == 1")
-    if cfg.packed_stream:
-        if cfg.subtiles > 1 or cfg.bands > 1 or cfg.tiles_x > 1:
-            raise ValueError("packed_stream requires subtiles == bands "
-                             "== tiles_x == 1")
-        if chunk % 32 or W % 32:
-            # G/4 chunk rows and W/4 window rows must stay 8-sublane
-            # aligned for VMEM slicing / DMA
-            raise ValueError("packed_stream requires chunk and "
-                             "stream_window multiples of 32")
-        assert LANES == 32, "packed_stream assumes 32-lane records"
     # bands: fine tiles per program along y (fori-looped in-kernel).
     # The fine-tile grid pads up to a whole number of programs; binning
     # runs on the padded grid so CSR indices and the kernel agree.
@@ -1210,8 +894,7 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
     kernel = functools.partial(_raster_kernel, tile_h=cfg.tile_h,
                                tile_w=cfg.tile_w,
                                chunk=chunk, window=W, tiles_x=R,
-                               ntx=ntx, bands=BD, subtiles=cfg.subtiles,
-                               packed=cfg.packed_stream)
+                               ntx=ntx, bands=BD)
     tile_spec = pl.BlockSpec((BD * cfg.tile_h, R * cfg.tile_w),
                              lambda ty, tx: (ty, tx),
                              memory_space=pltpu.VMEM)
@@ -1252,8 +935,7 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
             jax.ShapeDtypeStruct((ph, pw), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, W // 4 if cfg.packed_stream else W, 128),
-                       jnp.float32),                          # windows
+            pltpu.VMEM((2, W, 128), jnp.float32),             # windows
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=cfg.interpret,

@@ -2,7 +2,7 @@
 bit-identical to the oracle.
 
 The kernel's config space (tile shape x chunk x window x groups x
-subtiles x packed_stream x span budget) interacts in ways the
+bands x tiles_x x span budget) interacts in ways the
 hand-written tests sample only at named points; this seeded fuzz
 sweeps random corners. Decisions (winners), depth, and varying planes
 must match the oracle exactly for EVERY legal config — the rulebook
@@ -24,23 +24,19 @@ from test_raster_pallas import random_triangles
 
 def _random_cfg(rng):
     tile_h = int(rng.choice([8, 16, 32]))
-    chunk_choices = [8, 16, 32, 64]
-    packed = bool(rng.random() < 0.3)
-    if packed:
-        chunk_choices = [32, 64]
-    chunk = int(rng.choice(chunk_choices))
+    chunk = int(rng.choice([8, 16, 32, 64]))
     window = int(chunk * rng.choice([1, 2, 4]))
     if window % 8:
         window = chunk * 8
-    if packed and window % 32:
-        window = max(chunk, 32) * 4
-    subtiles = 1 if packed else int(rng.choice([1, 1, 2, 4]))
-    while tile_h % subtiles:
-        subtiles //= 2
+    bands = int(rng.choice([1, 1, 1, 2]))
+    tiles_x = int(rng.choice([1, 1, 1, 3]))
+    if bands > 1 or tiles_x > 1:
+        bands, tiles_x = (bands, 1) if rng.random() < 0.5 \
+            else (1, tiles_x)
     span = int(rng.choice([0, 2, 6, 16]))
     return rp.RasterConfig(
         tile_h=tile_h, tile_w=128, chunk=chunk, stream_window=window,
-        subtiles=subtiles, packed_stream=packed,
+        bands=bands, tiles_x=tiles_x,
         big_capacity=512, big_scale=2,
         **({"max_tiles_per_tri": span, "auto_span": False}
            if span else {}),

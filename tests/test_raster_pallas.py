@@ -445,122 +445,24 @@ def test_banded_kernel_matches_single_band():
             np.testing.assert_array_equal(np.asarray(n1), np.asarray(n))
 
 
-def test_subtile_rendering_matches_full_tile():
-    """subtiles=SB>1 bins at tile_h/SB-px full-width ROW-STRIP
-    granularity and each stream entry evaluates only its own strip's
-    (tile_h/SB, tile_w) pixels; winners, depth, and the interpolated
-    varying planes must be bit-identical to the SB=1 full-tile eval AND
-    decision-identical to the oracle (the per-strip winner resolve and
-    the MXU plane recovery are exact — one winning row per (strip,
-    pixel))."""
-    import dataclasses
-
-    for H, W in ((48, 384), (40, 130)):   # incl. padded partial tiles
-        clip, vary = random_triangles(120, seed=57)
-        valid = jnp.ones(120, bool)
-        tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
-        d_ref, w_ref = rr.rasterize_visibility(tc, H, W)
-        d1, w1, n1, e1, o1 = rp.rasterize(tc, H, W, tri_clip=clip,
-                                          cfg=CFG)
-        for sb in (2, 4, 8):   # sb=8 -> 1-px strips (tile_h=8)
-            cfg = dataclasses.replace(CFG, subtiles=sb,
-                                      max_tiles_per_tri=16,
-                                      auto_span=False)
-            d, w, n, e, o = rp.rasterize(tc, H, W, tri_clip=clip,
-                                         cfg=cfg)
-            assert not bool(np.asarray(o).any())
-            np.testing.assert_array_equal(np.asarray(w_ref),
-                                          np.asarray(w))
-            np.testing.assert_array_equal(np.asarray(w1), np.asarray(w))
-            np.testing.assert_array_equal(np.asarray(d1), np.asarray(d))
-            np.testing.assert_array_equal(np.asarray(n1), np.asarray(n))
-            np.testing.assert_array_equal(np.asarray(e1), np.asarray(e))
-
-
-def test_packed_stream_matches_default():
-    """packed_stream=True packs 4 coefficient records per 128-lane
-    stream row (narrow slice-gather + row-major reshape; the kernel
-    evaluates each window row as 4 entries at lane bases 0/32/64/96).
-    Winners, depth, and varying planes must be bit-identical to the
-    one-record-per-row layout AND to the oracle."""
-    import dataclasses
-
-    for H, W in ((48, 384), (40, 130)):   # incl. padded partial tiles
-        clip, vary = random_triangles(200, seed=99)
-        valid = jnp.ones(200, bool)
-        tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
-        d_ref, w_ref = rr.rasterize_visibility(tc, H, W)
-        d1, w1, n1, e1, o1 = rp.rasterize(tc, H, W, tri_clip=clip,
-                                          cfg=CFG)
-        cfg = dataclasses.replace(CFG, packed_stream=True, chunk=32,
-                                  stream_window=64)
-        d, w, n, e, o = rp.rasterize(tc, H, W, tri_clip=clip, cfg=cfg)
-        assert not bool(np.asarray(o).any())
-        np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w))
-        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w))
-        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d))
-        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n))
-        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e))
-
-    # composes with split-frame binning (each group's stream segment
-    # is window-aligned, so packed rows never straddle groups)
-    import unittest.mock as mock
-    with mock.patch.object(rp, "_FORCE_ROW_GROUPS", 2, create=True):
-        d, w, n, e, o = rp.rasterize(tc, H, W, tri_clip=clip, cfg=cfg)
-    assert not bool(np.asarray(o).any())
-    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w))
-    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d))
-    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n))
-
-    # and with the two-key sort fallback (key space past u32)
-    with mock.patch.object(rp, "_FORCE_TWO_KEY_SORT", True,
-                           create=True):
-        d, w, n, e, o = rp.rasterize(tc, H, W, tri_clip=clip, cfg=cfg)
-    assert not bool(np.asarray(o).any())
-    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w))
-    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d))
-    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n))
-
-
-def test_subtile_band_rendering_matches_full_frame():
-    """subtiles>1 composed with the multi-chip row-band path (y0 /
-    vp_height): a band render must be bit-identical to the same rows of
-    the full frame (binning and the kernel both run in global pixel
-    coordinates)."""
-    H, W = 64, 256
-    clip, vary = random_triangles(60, seed=77)
-    valid = jnp.ones(60, bool)
-    tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
-    import dataclasses
-    cfg = dataclasses.replace(CFG, subtiles=4, max_tiles_per_tri=16,
-                              auto_span=False)
-    d_f, w_f, n_f, e_f, _ = rp.rasterize(tc, H, W, tri_clip=clip,
-                                         cfg=cfg)
-    bh, y0 = 32, 16
-    d_b, w_b, n_b, e_b, _ = rp.rasterize(tc, bh, W, tri_clip=clip,
-                                         cfg=cfg, y0=y0, vp_height=H)
-    np.testing.assert_array_equal(np.asarray(w_f)[y0:y0 + bh],
-                                  np.asarray(w_b))
-    np.testing.assert_array_equal(np.asarray(d_f)[y0:y0 + bh],
-                                  np.asarray(d_b))
-    np.testing.assert_array_equal(np.asarray(n_f)[:, y0:y0 + bh],
-                                  np.asarray(n_b))
-
-
 def test_config_from_flag_slots():
     """The apps' shared --raster flag: positional slots bind in order,
     0 keeps the RasterConfig default in optional slots."""
+    import pytest
+
     c = rp.config_from_flag("8,128,16,256")
     assert (c.tile_h, c.tile_w, c.chunk, c.stream_window) == \
         (8, 128, 16, 256)
-    assert c.tiles_x == 1 and c.auto_span and c.subtiles == 1
-    c = rp.config_from_flag("32,128,32,256,2,6,1,4,15,1")
+    assert c.tiles_x == 1 and c.auto_span
+    c = rp.config_from_flag("32,128,32,256,2,6,1,0,15")
     assert c.tiles_x == 2
     assert c.max_tiles_per_tri == 6 and not c.auto_span
-    assert c.subtiles == 4
     assert c.stream_factor == 1.5
-    assert c.packed_stream
     # zeros skip: span stays auto, sf stays default
-    c = rp.config_from_flag("8,128,32,256,1,0,0,0,0,1")
+    c = rp.config_from_flag("8,128,32,256,1,0,0,0,0")
     assert c.auto_span and c.stream_factor == 2.0 and c.bands == 1
-    assert c.subtiles == 1 and c.packed_stream
+    # pruned knobs (round 4): nonzero slots are rejected loudly
+    with pytest.raises(ValueError, match="subtiles.*pruned"):
+        rp.config_from_flag("8,128,32,256,1,0,0,4")
+    with pytest.raises(ValueError, match="packed_stream.*pruned"):
+        rp.config_from_flag("8,128,32,256,1,0,0,0,0,1")

@@ -74,12 +74,10 @@ def _ulps(a, b):
 def check_parity():
     H, W = 96, 256
     ok = True
-    sub_cfg = rp.RasterConfig(tile_h=8, tile_w=128, subtiles=4,
-                              max_tiles_per_tri=16, auto_span=False,
-                              big_scale=4)   # 4x strips inflate spans:
-    # at T=512 over a 96x256 vp hundreds of random tris exceed the
-    # pinned budget and route big — 256 slots overflowed (dropping
-    # tris, by design), so give the check 1024
+    # surviving sweep knobs (subtiles/packed_stream pruned round 4):
+    # banded programs and multi-tile programs must stay bit-exact
+    band_cfg = rp.RasterConfig(tile_h=8, tile_w=128, bands=2)
+    tx_cfg = rp.RasterConfig(tile_h=16, tile_w=128, tiles_x=2)
     for n, seed in [(16, 0), (128, 1), (512, 2)]:
         clip, vary = random_triangles(n, seed)
         valid = jnp.ones(n, bool)
@@ -97,33 +95,19 @@ def check_parity():
               f"vary-plane ulps={vulps} "
               f"overflow={np.asarray(ovf).tolist()}")
         ok &= wd == 0 and vulps == 0 and not np.asarray(ovf).any()
-        # row-strip kernel (subtiles=4): winners, depth AND varying
-        # planes must match the SB=1 kernel bit-exactly on hardware too
-        d_s, w_s, n_s, den_s, ovf_s = jax.jit(
-            lambda tc, c: rp.rasterize(tc, H, W, tri_clip=c,
-                                       cfg=sub_cfg))(tc, clip)
-        wds = int((np.asarray(w_p) != np.asarray(w_s)).sum())
-        ulps_s = _ulps(d_p, d_s)
-        vulps_s = max(_ulps(n_p, n_s), _ulps(den_p, den_s))
-        print(f"  subtiles=4 vs SB=1: winner diffs={wds} "
-              f"depth ulps={ulps_s} vary-plane ulps={vulps_s} "
-              f"overflow={np.asarray(ovf_s).tolist()}")
-        ok &= (wds == 0 and ulps_s == 0 and vulps_s == 0
-               and not np.asarray(ovf_s).any())
-        # packed stream (4 records per 128-lane row): bit-exact too
-        ps_cfg = rp.RasterConfig(packed_stream=True, chunk=32,
-                                 stream_window=256)
-        d_q, w_q, n_q, den_q, ovf_q = jax.jit(
-            lambda tc, c: rp.rasterize(tc, H, W, tri_clip=c,
-                                       cfg=ps_cfg))(tc, clip)
-        wdq = int((np.asarray(w_p) != np.asarray(w_q)).sum())
-        ulps_q = _ulps(d_p, d_q)
-        vulps_q = max(_ulps(n_p, n_q), _ulps(den_p, den_q))
-        print(f"  packed_stream vs default: winner diffs={wdq} "
-              f"depth ulps={ulps_q} vary-plane ulps={vulps_q} "
-              f"overflow={np.asarray(ovf_q).tolist()}")
-        ok &= (wdq == 0 and ulps_q == 0 and vulps_q == 0
-               and not np.asarray(ovf_q).any())
+        for name, kcfg in (("bands=2", band_cfg),
+                           ("tiles_x=2", tx_cfg)):
+            d_s, w_s, n_s, den_s, ovf_s = jax.jit(
+                lambda tc, c, k=kcfg: rp.rasterize(
+                    tc, H, W, tri_clip=c, cfg=k))(tc, clip)
+            wds = int((np.asarray(w_p) != np.asarray(w_s)).sum())
+            ulps_s = _ulps(d_p, d_s)
+            vulps_s = max(_ulps(n_p, n_s), _ulps(den_p, den_s))
+            print(f"  {name} vs default: winner diffs={wds} "
+                  f"depth ulps={ulps_s} vary-plane ulps={vulps_s} "
+                  f"overflow={np.asarray(ovf_s).tolist()}")
+            ok &= (wds == 0 and ulps_s == 0 and vulps_s == 0
+                   and not np.asarray(ovf_s).any())
     return ok
 
 
