@@ -71,7 +71,19 @@ class DemoApp:
             # fixed costs dominate; window 64 measured 9.6 ms)
             from ..ops.raster_pallas import RasterConfig
             self.renderer.raster_cfg = RasterConfig(tile_h=8)
-        self.renderer.adopt_window(self.window)
+        # scene construction is DEFERRED to the window_open event, the
+        # reference's lifecycle (App.zig:54-92 builds the scene inside
+        # the event branch of the first tick). create_window enqueued
+        # it; drain synchronously here so the scene exists before the
+        # first tick (headless Core has no OS latency to wait out).
+        while (ev := self.core.next_event()) is not None:
+            if ev.kind == "window_open":
+                self._on_window_open(ev.window)
+
+    def _on_window_open(self, window):
+        """The App.zig:54-92 event branch: adopt the window, build the
+        terrain + polygon scene and the two surfaces."""
+        self.renderer.adopt_window(window)
 
         terrain_mod = Terrain(self.renderer)
         polygon_mod = Polygon(self.renderer)

@@ -55,9 +55,32 @@ class Window:
         return np.clip(np.rint(fb * 255.0), 0, 255).astype(np.uint8)
 
 
+class Event:
+    """A ``mach.Core`` event (the union the reference drains per tick,
+    ``App/App.zig:52``). Kinds used by the reference: ``window_open``
+    (scene construction is deferred to it, ``App.zig:54-92``),
+    ``close`` (exit, ``App.zig:93-95``); ``framebuffer_resize`` is
+    emitted on :meth:`Core.resize_window` for the Surface rebuild path
+    (``Surface.zig:76-94``)."""
+
+    __slots__ = ("kind", "window")
+
+    def __init__(self, kind: str, window: Optional["Window"] = None):
+        self.kind = kind
+        self.window = window
+
+    def __repr__(self):
+        wid = None if self.window is None else self.window.id
+        return f"Event({self.kind!r}, window={wid})"
+
+
 class Core:
     """Frame-loop driver (the used slice of ``mach.Core``): creates
-    windows and feeds the renderer's clock (``Renderer.zig:42-43``).
+    windows, feeds the renderer's clock (``Renderer.zig:42-43``), and
+    drives the event-queue lifecycle the reference's app loop drains
+    (``nextEvent()``, ``App.zig:52``): ``create_window`` enqueues
+    ``window_open``, so applications can defer scene construction to
+    the event exactly like ``App.zig:54-92``.
 
     ``fixed_timestep`` makes frames deterministic (tests, goldens);
     ``None`` uses wall-clock deltas (interactive/bench).
@@ -67,11 +90,38 @@ class Core:
         self.windows: list[Window] = []
         self.fixed_timestep = fixed_timestep
         self._last_time = time.perf_counter()
+        self._events: list[Event] = []
+        self.should_close = False
 
     def create_window(self, width: int, height: int, title: str = "") -> Window:
         w = Window(width, height, title)
         self.windows.append(w)
+        self.push_event(Event("window_open", w))
         return w
+
+    def resize_window(self, window: Window, width: int,
+                      height: int) -> None:
+        """Resize + emit ``framebuffer_resize`` (drives the Surface
+        depth-texture rebuild path, ``Surface.zig:76-94``)."""
+        window.resize(width, height)
+        self.push_event(Event("framebuffer_resize", window))
+
+    def request_close(self, window: Optional[Window] = None) -> None:
+        """Enqueue a ``close`` event (``App.zig:93-95`` exits on it)."""
+        self.push_event(Event("close", window))
+
+    def push_event(self, event: Event) -> None:
+        self._events.append(event)
+
+    def next_event(self) -> Optional[Event]:
+        """Pop the oldest pending event (``core.nextEvent()`` loop
+        shape); ``close`` also latches :attr:`should_close`."""
+        if not self._events:
+            return None
+        ev = self._events.pop(0)
+        if ev.kind == "close":
+            self.should_close = True
+        return ev
 
     def next_delta_time(self) -> float:
         if self.fixed_timestep is not None:

@@ -151,7 +151,13 @@ class Instance:
         self.stores[location].write(byte_offset, value)
 
     def set_vertex_buffer(self, vertex_buffer: VertexBuffer) -> None:
-        self.vertex_buffer = vertex_buffer
+        """Swap the draw source, refcounting buffer lifetimes like
+        ``Instance.zig:189-198``: the incoming buffer is retained, the
+        previously-bound one released (freed at refcount zero)."""
+        old = self.vertex_buffer
+        self.vertex_buffer = vertex_buffer.retain()
+        if old is not None and old is not vertex_buffer:
+            old.release()
         self.renderer.bump_scene_version()
 
     def binding_device_array(self, location: int):

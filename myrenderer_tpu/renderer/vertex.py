@@ -33,6 +33,13 @@ class VertexBuffer:
         self.instance_count = 1
         self.first_instance = 0
         self.version = 0
+        # instance refcount (Instance.zig:189-198): set_vertex_buffer
+        # releases the previously-bound buffer and frees it at zero.
+        # Python GC would reclaim the staging array anyway; the count
+        # preserves the reference's eager-free semantics (the staging
+        # + device arrays drop immediately, and a freed buffer loudly
+        # fails map()).
+        self.refcount = 0
         self._staging: Optional[np.ndarray] = None
         self._device = None
         self._device_version = -1
@@ -72,6 +79,17 @@ class VertexBuffer:
             self._device = jnp.asarray(self._staging)
             self._device_version = self.version
         return self._device
+
+    def retain(self) -> "VertexBuffer":
+        self.refcount += 1
+        return self
+
+    def release(self) -> None:
+        """Drop one instance reference; frees storage at zero
+        (``Instance.zig:193-196``)."""
+        self.refcount -= 1
+        if self.refcount <= 0:
+            self.free()
 
     def free(self) -> None:
         self._staging = None

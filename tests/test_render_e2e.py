@@ -826,3 +826,63 @@ def test_precompile_capacity_bump_warms_next_plan():
     fb = np.asarray(fb)
     red_rows = ((fb[..., 0] > 0.9) & (fb[..., 2] < 0.1)).any(axis=1)
     assert red_rows.sum() >= 10
+
+
+def test_event_driven_window_lifecycle():
+    """mach.Core event-queue parity (App.zig:43-95 /
+    SURVEY.md section 2.5): create_window enqueues window_open (the
+    reference defers scene construction to it), resize_window enqueues
+    framebuffer_resize, request_close latches should_close via
+    next_event."""
+    from myrenderer_tpu.renderer import Core
+
+    core = Core(fixed_timestep=1.0 / 60.0)
+    win = core.create_window(64, 32, "events")
+    ev = core.next_event()
+    assert ev is not None and ev.kind == "window_open"
+    assert ev.window is win
+    assert core.next_event() is None
+
+    core.resize_window(win, 128, 32)
+    ev = core.next_event()
+    assert ev.kind == "framebuffer_resize" and ev.window is win
+    assert win.framebuffer.shape == (32, 128, 4)
+
+    assert not core.should_close
+    core.request_close(win)
+    assert core.next_event().kind == "close"
+    assert core.should_close
+
+
+def test_vertex_buffer_refcounting():
+    """Instance.set_vertex_buffer refcounts buffer lifetimes
+    (Instance.zig:189-198): swapping releases the old buffer, shared
+    buffers survive until the last holder lets go."""
+    from myrenderer_tpu.renderer import (Core, Instance, Pipeline,
+                                         Renderer, VertexBuffer)
+    from myrenderer_tpu.renderer.pipeline import (BUILTIN_TRANSFORM,
+                                                  BindingLayout)
+    from myrenderer_tpu.content.polygon import Polygon
+
+    core = Core()
+    win = core.create_window(32, 32, "rc")
+    rend = Renderer(core, raster_backend="oracle")
+    rend.adopt_window(win)
+    mod = Polygon(rend)
+
+    layout = Polygon.GPU_VERTEX_LAYOUT
+    vb1 = VertexBuffer.new(rend, 0, 2, layout)
+    vb2 = VertexBuffer.new(rend, 0, 2, layout)
+    node_a = Instance.create_node(rend, pipeline=mod.pipeline)
+    node_b = Instance.create_node(rend, pipeline=mod.pipeline)
+    a, b = node_a.get_backing(), node_b.get_backing()
+
+    a.set_vertex_buffer(vb1)
+    b.set_vertex_buffer(vb1)          # shared: refcount 2
+    assert vb1.refcount == 2 and vb1.has_buffer
+    a.set_vertex_buffer(vb2)          # a lets go; vb1 survives via b
+    assert vb1.refcount == 1 and vb1.has_buffer
+    assert vb2.refcount == 1
+    b.set_vertex_buffer(vb2)          # last holder gone -> freed
+    assert vb1.refcount == 0 and not vb1.has_buffer
+    assert vb2.refcount == 2

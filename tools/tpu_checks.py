@@ -75,9 +75,15 @@ def check_parity():
     H, W = 96, 256
     ok = True
     # surviving sweep knobs (subtiles/packed_stream pruned round 4):
-    # banded programs and multi-tile programs must stay bit-exact
-    band_cfg = rp.RasterConfig(tile_h=8, tile_w=128, bands=2)
-    tx_cfg = rp.RasterConfig(tile_h=16, tile_w=128, tiles_x=2)
+    # banded programs and multi-tile programs must stay bit-exact.
+    # big_scale=4 on the tile8 config: at T=512 random tris over a
+    # 96x256 viewport hundreds exceed the 8-tile span budget and route
+    # big — the default 256 slots overflow (dropping triangles, by
+    # design), which is a capacity artifact, not a kernel deviation
+    band_cfg = rp.RasterConfig(tile_h=8, tile_w=128, bands=2,
+                               big_scale=4)
+    tx_cfg = rp.RasterConfig(tile_h=16, tile_w=128, tiles_x=2,
+                             big_scale=2)
     for n, seed in [(16, 0), (128, 1), (512, 2)]:
         clip, vary = random_triangles(n, seed)
         valid = jnp.ones(n, bool)
