@@ -64,13 +64,19 @@ class DemoApp:
         if self.raster is not None:
             self.renderer.raster_cfg = self.raster
         else:
-            # measured-best demo-scale config (1080p sweep, round 3):
-            # 8-row tiles cut the kernel's per-entry pixel waste
-            # (7.82 ms vs 8.39 at the 32-row default); chunk/window
-            # keep their defaults (chunk 8 measured 14.2 ms — per-chunk
-            # fixed costs dominate; window 64 measured 9.6 ms)
+            # measured-best demo-scale config: 8-row tiles cut the
+            # kernel's per-entry pixel waste (round-3 sweep: 7.82 ms
+            # vs 8.39 at 32-row tiles); stream_window 128 halves the
+            # sparse-tile DMA-wait tax the round-4 fixed-cost probe
+            # attributed (a ~22-row demo segment waiting a 128 KB
+            # window whose prefetch was issued one tiny tile earlier
+            # — BASELINE.md round-4 forensics; same-batch sweep:
+            # w256 9.34/9.16, w128 7.91, w64 7.99, w32 9.68, w16
+            # 10.37 ms). chunk stays 16 (chunk 8 measured 14.2 ms —
+            # boundary chunks are cheap, per-chunk fixed costs not).
             from ..ops.raster_pallas import RasterConfig
-            self.renderer.raster_cfg = RasterConfig(tile_h=8)
+            self.renderer.raster_cfg = RasterConfig(
+                tile_h=8, stream_window=128)
         # scene construction is DEFERRED to the window_open event, the
         # reference's lifecycle (App.zig:54-92 builds the scene inside
         # the event branch of the first tick). create_window enqueued

@@ -86,8 +86,11 @@ class StressApp:
         # (BASELINE.md round-3 batch) measured 79.3 ms/frame vs 84.8
         # at the safe 2.0 default — less dead slack sorts ahead of
         # the live incidences and the gather shrinks.
+        # stream_window 128: same-batch A/B at stress 76.8 vs 81.4 ms
+        # (w256) — the round-4 DMA-wait finding generalizes beyond the
+        # demo (BASELINE.md round-4 forensics)
         self.renderer.raster_cfg = raster or RasterConfig(
-            tile_h=8, chunk=64, stream_factor=1.6)
+            tile_h=8, chunk=64, stream_window=128, stream_factor=1.6)
 
         hm = default_heightmap(terrain_size)
         terrain_mod = Terrain(self.renderer)

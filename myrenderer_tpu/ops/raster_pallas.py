@@ -84,7 +84,13 @@ class RasterConfig:
                                   # chunks cut boundary-chunk waste at
                                   # sparse tiles: demo 1080p 10.3 ms at
                                   # 64 -> 7.95 ms at 16)
-    stream_window: int = 256      # coefficient rows per DMA window
+    stream_window: int = 128      # coefficient rows per DMA window
+                                  # (128 measured best at BOTH scales
+                                  # in round 4: demo 7.91 ms vs 9.2
+                                  # at 256 / 9.68 at 32, stress 76.8
+                                  # vs 81.4 at 256 same-batch — big
+                                  # windows pay a sparse-tile DMA-wait
+                                  # tax, tiny ones per-DMA fixed cost)
     tiles_x: int = 1              # consecutive x-tiles per kernel
                                   # program (amortizing per-program
                                   # fixed costs measured NEUTRAL to
