@@ -462,7 +462,8 @@ FULL_LANES = 32
 
 
 def pack_coeffs_full(tc: TriCoeffs, base: int = 0,
-                     ids: jax.Array | None = None) -> jax.Array:
+                     ids: jax.Array | None = None,
+                     lanes: int = FULL_LANES) -> jax.Array:
     """f32[T, FULL_LANES]: visibility lanes + triangle id + varying
     interpolation planes, for single-pass rasterize+shade kernels.
     Varyings must be 4 channels (the FragPass color contract,
@@ -473,7 +474,14 @@ def pack_coeffs_full(tc: TriCoeffs, base: int = 0,
     overrides the per-batch rank with an explicit permutation — for
     producers that emit triangles out of submission order
     (:class:`PlanarTris` ``ids``); must be a permutation of [0, T) so
-    appendee blocks at ``base + T`` never collide."""
+    appendee blocks at ``base + T`` never collide.
+
+    ``lanes`` > FULL_LANES zero-pads the records to that lane width IN
+    the pack itself. The raster path gathers its row stream from a
+    128-lane table (wide-row gathers are ~5x faster, BASELINE.md), and
+    a separate pad op costs a full table read+write — while an f32
+    [T, 32] array is ALREADY (8, 128)-lane-tiled physically in HBM, so
+    packing wide writes the same physical bytes and the pad is free."""
     T = tc.en_abc.shape[0]
     if tc.col_abc.shape[-1] != 4:
         raise ValueError("full pack requires exactly 4 varying channels")
@@ -483,8 +491,10 @@ def pack_coeffs_full(tc: TriCoeffs, base: int = 0,
     col = tc.col_abc            # [T, 3, 4]
     col_flat = jnp.concatenate([col[:, :, ch] for ch in range(4)],
                                axis=1)                  # [T, 12]
-    return jnp.concatenate([pack_coeffs(tc), ids, tc.en_abc, col_flat],
-                           axis=1)
+    parts = [pack_coeffs(tc), ids, tc.en_abc, col_flat]
+    if lanes > FULL_LANES:
+        parts.append(jnp.zeros((T, lanes - FULL_LANES), jnp.float32))
+    return jnp.concatenate(parts, axis=1)
 
 
 def edge_is_top_left(a: jax.Array, b: jax.Array) -> jax.Array:

@@ -31,6 +31,13 @@ raster/depth hardware the reference drives through ``mach.gpu``
    double-buffered (window b+1 transfers while window b evaluates; the
    NEXT tile's first window is prefetched during the current tile's
    epilogue, hiding the DMA latency that dominates sparse tiles).
+   Windows are RESIDENT across tile boundaries: a one-scalar SMEM
+   cursor remembers the last window waited on, so when consecutive
+   tiles' CSR segments share a window (the common case at sparse
+   scenes, where several ~22-row segments fit one window) the next
+   tile issues NO transfer and NO wait — the round-4 fixed-cost
+   forensics attributed the demo kernel's 6x per-entry cost premium
+   to exactly these redundant boundary DMA waits (BASELINE.md).
    Each window is evaluated in ``chunk``-row sub-blocks as
    (G, tile-pixels) outer-product FMAs (single-axis broadcasts,
    VPU-shaped). The depth resolve is a min-reduction over the chunk
@@ -418,15 +425,21 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     # windows, one entry per 128-lane stream row (Mosaic requires manual
     # HBM DMA slices to be 128-lane aligned, so a [S, 32] stream could
     # not be windowed anyway).
-    # pad records to full 128-lane rows BEFORE the gather: XLA row
-    # gathers from a [T, 128] table run ~5x faster per row than from
-    # [T, 32] (narrow rows hit a slow sublane path). 4x the bytes, but
-    # the gather is row-overhead-bound, not bandwidth-bound. The
-    # optimization_barrier is load-bearing: without it XLA commutes the
-    # pad past the gather ("gather less data") and the slow narrow
-    # gather comes back — measured 93 ms vs ~15 ms per stress frame.
+    # the gather must read full 128-lane rows: XLA row gathers from a
+    # [T, 128] table run ~5x faster per row than from [T, 32] (narrow
+    # rows hit a slow sublane path). 4x the logical bytes, but the
+    # gather is row-overhead-bound, not bandwidth-bound. Callers that
+    # pack wide (pack_coeffs_full(lanes=128) — the frame program) skip
+    # the pad op entirely: an f32 [T, 32] is already (8, 128)-lane-
+    # tiled physically in HBM, so the explicit pad was a full physical
+    # table read+write for nothing (~3 ms/frame at 4K/1M). The
+    # optimization_barrier is load-bearing either way: without it XLA
+    # commutes the pad/zeros-concat past the gather ("gather less
+    # data") and the slow narrow gather comes back — measured 93 ms vs
+    # ~15 ms per stress frame.
     packed128 = lax.optimization_barrier(
-        jnp.pad(packed, ((0, 0), (0, 128 - LANES))))
+        packed if packed.shape[1] == 128
+        else jnp.pad(packed, ((0, 0), (0, 128 - packed.shape[1]))))
 
     def gather_stream(idx):
         """Bin-order coefficient stream from the 128-lane-padded table
@@ -545,7 +558,7 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     overflow_big = big_count_full > B
     big_count = jnp.minimum(big_count_full, B)
     big_ids = jnp.clip(big_sorted[:B], 0, max(T - 1, 0)).astype(jnp.int32)
-    big_rows = packed[big_ids][None]                   # [1, B, 32]
+    big_rows = packed[big_ids][None]            # [1, B, packed lanes]
 
     # per-TILE flag (kernel-grid granularity, not bin granularity):
     # does ANY big triangle's bbox touch the tile? lets the kernel skip
@@ -573,7 +586,7 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
 def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
                    big_touch_ref, stream_hbm, big_ref,
                    depth_in_ref, fused_ref, winner_ref,
-                   stream_scratch, dma_sems,
+                   stream_scratch, dma_sems, resident_ref,
                    *, tile_h: int, tile_w: int,
                    chunk: int, window: int, tiles_x: int, ntx: int,
                    bands: int = 1):
@@ -591,7 +604,14 @@ def _raster_kernel(y0_ref, starts_ref, counts_ref, big_count_ref,
     transfers while window b evaluates, and each tile's epilogue
     prefetches the first window of the next tile IN PROCESSING ORDER
     (next band, next x-tile, or next program) into the buffer it will
-    look in. Rows are evaluated in ``chunk``-row sub-blocks as
+    look in. ``resident_ref`` (SMEM scalar) holds the global index of
+    the window most recently waited on: CSR segments are adjacent, so
+    consecutive tiles usually share a boundary window, and the sharing
+    tile skips both the re-transfer (epilogue gate) and the re-wait
+    (loop gate) — the data is still in its slot, transfers and waits
+    stay exactly paired (each started window is waited exactly once by
+    the first tile that needs it). Rows are evaluated in ``chunk``-row
+    sub-blocks as
     (G, THW) outer-product FMAs with a min-reduce depth resolve
     (lowest-id tie-break == submission-order 'less' semantics).
 
@@ -607,6 +627,14 @@ The winner's varying-plane COEFFICIENTS are recovered per chunk
     ty_c = pl.program_id(0)
     txg = pl.program_id(1)
     nty_c = pl.num_programs(0)
+
+    # window-residency cursor: global index of the window whose data is
+    # valid in slot (resident % 2), or -1 before any wait. Scratch
+    # persists across the sequential grid, so the value carries between
+    # programs just like the double-buffer windows themselves.
+    @pl.when((ty_c == 0) & (txg == 0))
+    def _():
+        resident_ref[0] = -1
 
     def window_dma(blk, slot):
         return pltpu.make_async_copy(
@@ -729,7 +757,15 @@ The winner's varying-plane COEFFICIENTS are recovered per chunk
             def _():
                 window_dma(blk + 1, lax.rem(blk + 1, 2)).start()
 
-            window_dma(blk, slot).wait()
+            # only the tile's FIRST window can already be resident (a
+            # boundary window shared with the previous tile, which then
+            # issued no transfer either — see the epilogue gate); later
+            # windows always follow an in-loop start above.
+            @pl.when(blk != resident_ref[0])
+            def _():
+                window_dma(blk, slot).wait()
+
+            resident_ref[0] = blk
 
             wbase = blk * W
             # chunk sub-blocks at fixed window-aligned offsets:
@@ -773,10 +809,16 @@ The winner's varying-plane COEFFICIENTS are recovered per chunk
             nstart = starts_ref[t_next]
             nn = counts_ref[t_next]
             nblk0 = lax.div(nstart, W)
-            # always re-transfer, even when the next tile's first
-            # window is the one just used: the next tile WILL wait on
-            # this semaphore, so skipping the start would deadlock it
-            @pl.when(nn > 0)
+            # skip the transfer when the next tile's first window is
+            # already resident (CSR adjacency makes this the common
+            # case at sparse scenes): the next tile's loop gate skips
+            # the wait under the SAME resident value — resident_ref
+            # cannot change between this read and that gate (empty
+            # tiles in between never wait) — so starts and waits stay
+            # exactly paired and the slot still holds the window's data
+            # (in-tile prefetch never starts windows past the tile's
+            # own last one, so nothing overwrote it).
+            @pl.when((nn > 0) & (nblk0 != resident_ref[0]))
             def _():
                 window_dma(nblk0, lax.rem(nblk0, 2)).start()
 
@@ -928,7 +970,8 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
             pl.BlockSpec(memory_space=pltpu.SMEM),           # big count
             pl.BlockSpec(memory_space=pltpu.SMEM),           # big touch
             pl.BlockSpec(memory_space=pltpu.HBM),            # row stream
-            pl.BlockSpec((1, B, LANES), lambda ty, tx: (0, 0, 0),
+            pl.BlockSpec((1, B, big_rows.shape[2]),
+                         lambda ty, tx: (0, 0, 0),
                          memory_space=pltpu.VMEM),           # big rows
             tile_spec,                                       # depth in
         ],
@@ -943,6 +986,7 @@ def rasterize_packed(packed: jax.Array, valid: jax.Array, bbox,
         scratch_shapes=[
             pltpu.VMEM((2, W, 128), jnp.float32),             # windows
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),                      # resident
         ],
         interpret=cfg.interpret,
     )(y0_arr, starts, counts, big_count, big_touch, stream,

@@ -339,9 +339,16 @@ def _setup_batch(plan, tri_clip, tri_vary, valid, cull_mode, overflow,
                                z_bias=bias)
     perm_ids = (tri_clip.ids if isinstance(tri_clip, rc.PlanarTris)
                 else None)
+    # single-chip frames pack records wide (128 lanes): the raster
+    # gather wants a 128-lane table anyway and a separate pad op costs
+    # a full physical table read+write (f32 [T, 32] is already
+    # (8, 128)-lane-tiled in HBM). The mesh path stays narrow so the
+    # raster pin's all-gather carries 32 logical lanes, not 128.
+    lanes = rc.FULL_LANES if plan.mesh is not None else 128
     packed = jnp.concatenate([
-        rc.pack_coeffs_full(tc, base=base_index, ids=perm_ids),
-        rc.pack_coeffs_full(tc_app, base=base_index + T)])
+        rc.pack_coeffs_full(tc, base=base_index, ids=perm_ids,
+                            lanes=lanes),
+        rc.pack_coeffs_full(tc_app, base=base_index + T, lanes=lanes)])
     bbox = tuple(jnp.concatenate(c) for c in zip(
         raster_pallas.viewport_bbox(tri_clip, plan.width, plan.height),
         raster_pallas.viewport_bbox(app_clip, plan.width,

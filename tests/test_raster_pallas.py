@@ -198,6 +198,25 @@ def test_hierarchical_instances_backend_parity():
     assert len(found) >= 4
 
 
+def test_wide_pack_matches_narrow():
+    """pack_coeffs_full(lanes=128) (the frame program's pad-free wide
+    pack) must rasterize bit-identically to the narrow [T, 32] pack +
+    internal pad — the pad lanes are zeros the kernel never reads."""
+    H, W = 48, 256
+    clip, vary = random_triangles(120, seed=33)
+    valid = jnp.ones(120, bool)
+    tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+    bbox = rp.viewport_bbox(clip, W, H)
+    outs = []
+    for lanes in (rc.FULL_LANES, 128):
+        packed = rc.pack_coeffs_full(tc, lanes=lanes)
+        assert packed.shape[1] == lanes
+        outs.append(rp.rasterize_packed(packed, tc.valid, bbox, H, W,
+                                        cfg=CFG))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_stream_window_boundaries():
     """The coefficient-row stream is DMAed in fixed windows; tile
     segments that straddle window boundaries (start/end at arbitrary
