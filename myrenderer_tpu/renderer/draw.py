@@ -339,16 +339,18 @@ def _setup_batch(plan, tri_clip, tri_vary, valid, cull_mode, overflow,
                                z_bias=bias)
     perm_ids = (tri_clip.ids if isinstance(tri_clip, rc.PlanarTris)
                 else None)
-    # single-chip frames pack records wide (128 lanes): the raster
-    # gather wants a 128-lane table anyway and a separate pad op costs
-    # a full physical table read+write (f32 [T, 32] is already
-    # (8, 128)-lane-tiled in HBM). The mesh path stays narrow so the
-    # raster pin's all-gather carries 32 logical lanes, not 128.
-    lanes = rc.FULL_LANES if plan.mesh is not None else 128
+    # records stay 32 lanes here; bin_packed pads the table to 128
+    # lanes before the stream gather. Packing wide at the source
+    # (pack_coeffs_full(lanes=128)) to skip that pad was MEASURED
+    # NET-NEGATIVE on hardware (round-4 batch 8): XLA assembles the
+    # wide table as a 128-column concatenate of [T, 1] slices — a
+    # 22.9 ms op at 4K/1M (stress 77 -> 119-124 ms/frame) vs the
+    # 3.2 ms pad it replaces; at demo scale it is a wash. The
+    # "[T, 32] is already (8, 128)-lane-tiled physically" argument was
+    # right about the pad's cost but wrong about the concat's.
     packed = jnp.concatenate([
-        rc.pack_coeffs_full(tc, base=base_index, ids=perm_ids,
-                            lanes=lanes),
-        rc.pack_coeffs_full(tc_app, base=base_index + T, lanes=lanes)])
+        rc.pack_coeffs_full(tc, base=base_index, ids=perm_ids),
+        rc.pack_coeffs_full(tc_app, base=base_index + T)])
     bbox = tuple(jnp.concatenate(c) for c in zip(
         raster_pallas.viewport_bbox(tri_clip, plan.width, plan.height),
         raster_pallas.viewport_bbox(app_clip, plan.width,
