@@ -1,9 +1,8 @@
 #!/usr/bin/env python
-"""Profile one stress frame with jax.profiler and print the device
-op-time breakdown (top HLO ops by self time), using
-tensorboard_plugin_profile's xplane converter."""
+"""Profile one stress frame with jax.profiler; parse the resulting
+xplane with tools/xplane_ledger.py (the tensorboard converter crashes
+on this container's protobuf version)."""
 import glob
-import gzip
 import os
 import sys
 
@@ -32,18 +31,9 @@ with jax.profiler.trace(logdir):
     jax.block_until_ready(app.window.framebuffer)
 print("traced", flush=True)
 
-# find the xplane file and convert to op stats
+# print the device op ledger straight away (the tensorboard converter
+# crashes on this container's protobuf version; tools/xplane_ledger.py
+# parses the raw xplane with the pure-Python protobuf implementation)
 paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
 print("xplanes:", paths, flush=True)
-if paths:
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as r2t
-    for tool in ("op_profile", "overview_page^"):
-        try:
-            data, _ = r2t.xspace_to_tool_data([paths[0]], tool, {})
-            out = f"/tmp/stressprof_{tool.strip('^')}.json"
-            mode = "wb" if isinstance(data, bytes) else "w"
-            with open(out, mode) as f:
-                f.write(data)
-            print("wrote", out, flush=True)
-        except Exception as e:
-            print(f"{tool}: FAILED {e}", flush=True)
+print("parse with: python tools/xplane_ledger.py", logdir, flush=True)
