@@ -186,8 +186,12 @@ def main(argv=None):
         # host<->device transfer, not rendering
         jax.block_until_ready(app.window.framebuffer)
         dt = time.perf_counter() - t0
+        # capacity overflow must not masquerade as a perf win when
+        # sweeping --raster configs (same guard as app.stress)
+        import numpy as np
+        ovf = np.asarray(app.draw.last_overflow)
         print(f"{n} frames: {dt * 1000 / n:.3f} ms/frame "
-              f"({n / dt:.1f} fps)")
+              f"({n / dt:.1f} fps) overflow={ovf.tolist()}")
     elif args.frames > 1:
         for _ in range(args.frames - 1):
             app.tick()
