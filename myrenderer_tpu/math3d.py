@@ -61,6 +61,16 @@ def normalize(v: np.ndarray) -> np.ndarray:
     return (v / n).astype(_F32)
 
 
+def _cross3(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """3-vector cross product, expanded by hand: np.cross's generic
+    broadcasting machinery costs ~0.2 ms per call on single vectors
+    (measured in the round-4 demo host profile — look_at runs twice
+    per frame on the hot path). Same f32 arithmetic, same results."""
+    return np.array([a[1] * b[2] - a[2] * b[1],
+                     a[2] * b[0] - a[0] * b[2],
+                     a[0] * b[1] - a[1] * b[0]], dtype=_F32)
+
+
 def look_at(camera, target, up_ref) -> np.ndarray:
     """View matrix, exactly the construction at ``math.zig:9-20``.
 
@@ -74,8 +84,8 @@ def look_at(camera, target, up_ref) -> np.ndarray:
     up_ref = np.asarray(up_ref, dtype=_F32)
 
     forward = normalize(target - camera)
-    right = normalize(np.cross(up_ref, forward))
-    up = normalize(np.cross(forward, right))
+    right = normalize(_cross3(up_ref, forward))
+    up = normalize(_cross3(forward, right))
 
     m = np.zeros((4, 4), dtype=_F32)
     m[0, :3] = right

@@ -532,6 +532,7 @@ class Draw:
         self._frames_since_rebuild = 0
         self._pending_overflow = []   # queued flags, async-copied
         self._locals_buf = None
+        self._clear_cache: dict = {}
         self._bounds_cache = None
         self._bounds_cache_key = None
         self._last_end_time = None
@@ -589,11 +590,12 @@ class Draw:
         # consumed as they become ready (is_ready poll — a blocking read
         # per frame would serialize host and device). A flag is acted on
         # a few frames after its overflow — overflow is never SILENT:
-        # the queue is force-drained beyond 3 outstanding flags (the
-        # ~30 ms relay readback amortizes at these frame times), and the
+        # the queue is force-drained beyond 8 outstanding flags (sized
+        # so flags become host-ready before their turn — see
+        # _poll_overflow_queue), and the
         # DETECTING frame is re-rendered with the bumped plan before it
         # publishes. Frames between the overflow and its detection (at
-        # most the 3-deep queue) publish with dropped triangles; the
+        # most the 8-deep queue) publish with dropped triangles; the
         # synchronous window right after a (re)build and the opt-in
         # ``Renderer.strict_overflow`` (sync check EVERY frame) give
         # the zero-dropped-frames guarantee where it matters.
@@ -707,7 +709,16 @@ class Draw:
                 ready = arr.is_ready()
             except AttributeError:
                 pass
-            if not ready and len(q) <= 3:
+            if not ready and len(q) <= 8:
+                # The bound must exceed the relay's flag arrival
+                # latency in frames (~25-30 ms RTT / ~8 ms frames = 4)
+                # or EVERY frame force-drains mid-transfer: the
+                # round-4 host cProfile measured the old 3-deep bound
+                # at ~4.5 ms/frame of blocking reads — over half the
+                # demo's host overhead — while flags only become
+                # is_ready() after ~4 frames. At 8 deep a flag has
+                # ~2x the RTT to arrive, so steady-state pops are
+                # ready and free; pred[3] flags make queue memory moot.
                 break
             q.pop(0)
             hit |= bool(np.asarray(arr).any())
@@ -827,11 +838,19 @@ class Draw:
                 surface._persp_cache = jnp.asarray(
                     surface.perspective_matrix)
                 surface._persp_cache_src = surface.perspective_matrix
+            # clear colors change rarely (the demo's is a constant):
+            # cache the 4-float device array by value — the per-frame
+            # jnp.asarray was 1 of the 3 host->device transfers each
+            # frame (round-4 host cProfile)
+            ckey = (tuple(clear.tolist()) if clear is not None
+                    else (0.0, 0.0, 0.0, 0.0))
+            cdev = self._clear_cache.get(ckey)
+            if cdev is None:
+                cdev = self._clear_cache[ckey] = jnp.asarray(
+                    np.asarray(ckey, np.float32))
             surfaces.append({
                 "persp": surface._persp_cache,
-                "clear": jnp.asarray(
-                    clear if clear is not None
-                    else np.zeros(4, np.float32)),
+                "clear": cdev,
                 "batches": batches,
             })
         return {
