@@ -140,3 +140,53 @@ def test_pre_kernel_stage_actually_partitions():
            and "sharding_constraint" in l]
     assert pin, ("no full-T packed-row all-gather at the raster "
                  "sharding pin found in the compiled program")
+
+
+def test_band_binning_is_band_local():
+    """A band's stream/big live entries must exclude out-of-band
+    triangles: without the bin_packed band cull, the tile-grid clamps
+    turn every out-of-band triangle into live border-tile entries and
+    each device's sort/gather/kernel work stays O(T) regardless of its
+    band (round-4 VERDICT weak #2 — the §5.8 'binned to chips' half).
+    Checks the actual per-entry triangle ids, not just counts."""
+    from test_raster_pallas import CFG
+
+    from myrenderer_tpu.ops import raster_pallas as rp
+
+    H, W, bands = 64, 128, 4
+    band = H // bands
+    T = 60
+    clip, vary = random_triangles(T, seed=11)
+    valid = jnp.ones(T, bool)
+    tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
+    packed = rc.pack_coeffs_full(tc)
+    bbox = rp.viewport_bbox(clip, W, H)
+    minv, maxv = np.asarray(bbox[2]), np.asarray(bbox[3])
+    setup_valid = np.asarray(tc.valid)
+
+    excluded_somewhere = 0
+    for g in range(bands):
+        y0 = g * band
+        stream, starts, counts, big_rows, big_count, _touch, ovf = \
+            jax.jit(rp.bin_packed, static_argnums=(3, 4, 5, 7))(
+                packed, tc.valid, bbox, band, W, CFG, jnp.int32(y0), H)
+        assert not np.asarray(ovf).any()
+        in_band = setup_valid & (maxv >= y0) & (minv < y0 + band)
+        # every live stream entry's id lane names an in-band triangle
+        starts, counts = np.asarray(starts), np.asarray(counts)
+        stream = np.asarray(stream)
+        live_ids = set()
+        for s, c in zip(starts, counts):
+            live_ids.update(stream[s:s + c, 16].astype(int).tolist())
+        nbig = int(np.asarray(big_count)[0])
+        live_ids.update(np.asarray(big_rows)[0, :nbig, 16]
+                        .astype(int).tolist())
+        assert live_ids, f"band {g} unexpectedly empty"
+        out_of_band = live_ids - set(np.nonzero(in_band)[0].tolist())
+        assert not out_of_band, (
+            f"band {g} carries out-of-band triangles {out_of_band}")
+        excluded_somewhere += int((~in_band & setup_valid).sum())
+    # the scene actually exercises the cull (random triangles spread
+    # over 4 bands: many triangles miss at least one band, so the sum
+    # of per-band exclusions is a healthy fraction of T x bands)
+    assert excluded_somewhere > T // 2
