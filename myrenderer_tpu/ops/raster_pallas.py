@@ -1050,10 +1050,15 @@ def shade_from_planes_ranges(winner, num, den, fb, ranges):
     the epilogue that lets ONE merged raster pass mix fragment
     programs the way the reference's render pass mixes pipelines
     (``Draw.zig:23-34``, setPipeline per draw inside one pass).
-    Uncovered pixels (winner == -1) match no range."""
+    Uncovered pixels (winner == -1) match no range.
+
+    Each range is (start, end, fragment_fn, ctx): ``ctx`` (a
+    ``vertex_stage.FragmentCtx`` or None) carries the drawn instance's
+    fragment-stage bindings for two-parameter fragment programs
+    (per-pixel texture sampling etc.)."""
     varp = jnp.moveaxis(num, 0, -1) / den[..., None]
-    for start, end, fn in ranges:
-        rgba = fn(varp)
+    for start, end, fn, ctx in ranges:
+        rgba = fn(varp) if ctx is None else fn(varp, ctx)
         mask = (winner >= start) & (winner < end)
         fb = jnp.where(mask[..., None], rgba, fb)
     return fb

@@ -44,16 +44,18 @@ def rasterize_visibility(tc: rc.TriCoeffs, height: int, width: int,
 
 
 def shade(tc: rc.TriCoeffs, winner: jax.Array, fb: jax.Array,
-          fragment_fn, base_index: int = 0) -> jax.Array:
+          fragment_fn, base_index: int = 0, ctx=None) -> jax.Array:
     """Pass 2: perspective-correct varyings for winning pixels, run the
     pipeline's fragment function, and write (replace — the reference's
-    color target has no blending, ``Pipeline.zig:137-140``)."""
+    color target has no blending, ``Pipeline.zig:137-140``). ``ctx``
+    (a ``vertex_stage.FragmentCtx``) is forwarded to two-parameter
+    fragment programs — fragment-stage binding access."""
     height, width = winner.shape
     px, py = rc.pixel_grids(height, width)
     local = winner - jnp.int32(base_index)
     in_range = (local >= 0) & (local < tc.en_abc.shape[0])
     varp, _ = rc.resolve_varyings(tc, jnp.where(in_range, local, 0), px, py)
-    rgba = fragment_fn(varp)
+    rgba = fragment_fn(varp) if ctx is None else fragment_fn(varp, ctx)
     return jnp.where(in_range[..., None], rgba, fb)
 
 

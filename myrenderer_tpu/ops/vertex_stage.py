@@ -125,6 +125,32 @@ class VertexCtx:
         return self._bindings[location]
 
 
+class FragmentCtx:
+    """Fragment-stage resources, handed to two-parameter fragment
+    functions as ``fragment_fn(varyings, ctx)``.
+
+    In WebGPU the texture_view / texture_sampler binding kinds the
+    reference declares (``Pipeline.zig:34-55``, sampler created at
+    :107-115) are FRAGMENT-stage resources; this is their access path
+    on the shading side. ``binding(loc)`` returns the drawn instance's
+    value for that slot — an attachment (e.g. an f32[H, W, C] texture
+    for :mod:`..ops.sampling`) or a managed/unmanaged buffer.
+
+    Unlike :class:`VertexCtx` there is no instance-id indexing: a
+    pipeline whose fragment function takes a ctx gets ONE draw batch
+    per instance (``draw._build_batches``), because the winner-id range
+    that routes pixels to this program is per-batch — near-plane
+    straddlers clip into a per-batch appendee block whose slots carry
+    no per-instance attribution.
+    """
+
+    def __init__(self, bindings):
+        self._bindings = bindings
+
+    def binding(self, location: int):
+        return self._bindings[location]
+
+
 class BatchVertexCtx:
     """Whole-stream inputs for a *batched* vertex function (the analogue
     of a mesh/compute shader): ``vertex_index`` i32[V], ``attrs`` maps

@@ -111,7 +111,13 @@ def _build_batches(surface, renderer):
             items.append((node, node.backing_instance))
     batches = []
     for node, inst in items:
-        if batches and batches[-1].pipeline is inst.pipeline:
+        # ctx-consuming fragment programs get ONE batch per instance:
+        # the winner-id range that routes pixels to a fragment program
+        # is per-batch, and per-instance attribution inside a batch is
+        # impossible (near-plane straddlers clip into the batch's
+        # appendee block, whose slot -> instance mapping is dynamic)
+        if (batches and batches[-1].pipeline is inst.pipeline
+                and not inst.pipeline.fragment_uses_ctx):
             b = batches[-1]
             b.instances.append(inst)
             b.node_indices = np.append(b.node_indices, node.index)
@@ -194,7 +200,10 @@ def _mergeable(plan) -> bool:
 
 def _batch_vertex_products(plan, args, world):
     """Run every surface's vertex stage; yields
-    (s_i, batch, tri_clip, tri_vary, valid) in submission order.
+    (s_i, batch, tri_clip, tri_vary, valid, fctx) in submission order
+    — ``fctx`` is the :class:`..ops.vertex_stage.FragmentCtx` for a
+    ctx-consuming fragment program (such batches hold exactly one
+    instance, ``_build_batches``), else None.
 
     Multi-chip (``plan.mesh``): the vertex stage is SHARDED over
     triangles across the mesh devices — the vertex-stream inputs and
@@ -246,6 +255,10 @@ def _batch_vertex_products(plan, args, world):
             bindings = {loc: jnp.stack(arrs) if len(arrs) > 1
                         else arrs[0][None]
                         for loc, arrs in bargs["bindings"].items()}
+            fctx = None
+            if b.pipeline.fragment_uses_ctx:
+                fctx = vs.FragmentCtx({loc: arrs[0] for loc, arrs
+                                       in bargs["bindings"].items()})
 
             vidx = jnp.asarray(b.vertex_index)
             iids = jnp.asarray(b.iids)
@@ -274,13 +287,26 @@ def _batch_vertex_products(plan, args, world):
                               for corner in clip.vary),
                         None if clip.ids is None else pinr(clip.ids))
                 # planar end-to-end path: no [V,4] -> [T,3,4] relayout
-                out.append((s_i, b, clip, None, inst_vis[tri_iid]))
+                out.append((s_i, b, clip, None, inst_vis[tri_iid], fctx))
                 continue
             if shard_v is not None:
                 clip, vary = pin(clip, 1), pin(vary, 1)
+            if vary.shape[-1] != 4:
+                # fail at trace time with the pipeline attributed,
+                # instead of deep inside pack_coeffs_full (the varying
+                # channel count only exists once the vertex function
+                # has been traced — Pipeline.create cannot know it)
+                raise ValueError(
+                    f"vertex function "
+                    f"{getattr(b.pipeline.vertex_fn, '__name__', '?')!r}"
+                    f" emitted {vary.shape[-1]} varying channels; the "
+                    "fragment contract is exactly 4 (the reference's "
+                    "FragPass vec4, Pipeline.zig:12-32) — pack unused "
+                    "channels with zeros")
             tri_clip = clip.reshape(b.tri_count, 3, 4)
             tri_vary = vary.reshape(b.tri_count, 3, vary.shape[-1])
-            out.append((s_i, b, tri_clip, tri_vary, inst_vis[tri_iid]))
+            out.append((s_i, b, tri_clip, tri_vary, inst_vis[tri_iid],
+                        fctx))
     return out
 
 
@@ -376,7 +402,7 @@ def _raster_packed(plan, packed, valid, bbox, depth, fb, ranges,
     """Pallas raster + shade of packed batches. ONE pass regardless of
     triangle count: the kernel streams coefficient rows from HBM
     (raster_pallas module docstring). ``ranges`` is the shading plan:
-    (start, end, fragment_fn) triples over global winner-id ranges
+    (start, end, fragment_fn, ctx) tuples over global winner-id ranges
     (one per distinct fragment program — heterogeneous pipelines share
     the single pass). With ``plan.mesh`` set, the framebuffer/depth are
     sharded by pixel rows over the mesh's 'rows' axis and each device
@@ -447,7 +473,7 @@ def _frame_fn(plan: _FramePlan, args):
         # vectors concatenate. Ids are global submission ranks.
         packs, valids, bboxes, ranges = [], [], [], []
         base = 0
-        for s_i, b, tri_clip, tri_vary, valid in products:
+        for s_i, b, tri_clip, tri_vary, valid, fctx in products:
             bias = 2.0 * (S - 1 - s_i) if S > 1 else None
             packed, v, bbox, overflow = _setup_batch(
                 plan, tri_clip, tri_vary, valid, b.pipeline.cull_mode,
@@ -456,14 +482,17 @@ def _frame_fn(plan: _FramePlan, args):
             valids.append(v)
             bboxes.append(bbox)
             end = base + packed.shape[0]
-            # shading plan: adjacent batches sharing a fragment program
-            # coalesce into one id range (the demo's 3 batches share
-            # the default passthrough -> ONE dense shade, as before)
+            # shading plan: adjacent batches sharing a ctx-free fragment
+            # program coalesce into one id range (the demo's 3 batches
+            # share the default passthrough -> ONE dense shade, as
+            # before); ctx-consuming programs shade once per instance
+            # (their batch) since the ctx bindings differ per instance
             fn = b.pipeline.fragment_fn
-            if ranges and ranges[-1][2] is fn and ranges[-1][1] == base:
-                ranges[-1] = (ranges[-1][0], end, fn)
+            if (fctx is None and ranges and ranges[-1][2] is fn
+                    and ranges[-1][3] is None and ranges[-1][1] == base):
+                ranges[-1] = (ranges[-1][0], end, fn, None)
             else:
-                ranges.append((base, end, fn))
+                ranges.append((base, end, fn, fctx))
             base = end
         one = len(packs) == 1
         packed = packs[0] if one else jnp.concatenate(packs)
@@ -488,7 +517,7 @@ def _frame_fn(plan: _FramePlan, args):
                 jnp.float32)
         depth = jnp.full((H, W), 1.0, jnp.float32)
         for b in splan.batches:
-            _s, _b, tri_clip, tri_vary, valid = products[prod_i]
+            _s, _b, tri_clip, tri_vary, valid, fctx = products[prod_i]
             prod_i += 1
             if plan.backend == "pallas":
                 packed, v, bbox, overflow = _setup_batch(
@@ -496,7 +525,7 @@ def _frame_fn(plan: _FramePlan, args):
                     b.pipeline.cull_mode, overflow)
                 depth2, fb, winner, overflow = _raster_packed(
                     plan, packed, v, bbox, depth, fb,
-                    [(0, packed.shape[0], b.pipeline.fragment_fn)],
+                    [(0, packed.shape[0], b.pipeline.fragment_fn, fctx)],
                     overflow)
                 if plan.debug_winner:
                     winners.append(winner)
@@ -510,7 +539,7 @@ def _frame_fn(plan: _FramePlan, args):
                 depth2, winner = raster_ref.rasterize_visibility(
                     tc, H, W, depth=depth)
                 fb = raster_ref.shade(tc, winner, fb,
-                                      b.pipeline.fragment_fn)
+                                      b.pipeline.fragment_fn, ctx=fctx)
                 if plan.debug_winner:
                     winners.append(winner)
                 if b.pipeline.depth_write:

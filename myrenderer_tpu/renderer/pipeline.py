@@ -7,7 +7,13 @@ here carries *Python callables* traced by XLA into the jitted frame:
 
     vertex_fn(ctx: VertexCtx) -> (clip_pos f32[4], varyings f32[4])
     fragment_fn(varyings f32[..., 4]) -> rgba f32[..., 4]   (vectorized)
+    fragment_fn(varyings, ctx: FragmentCtx) -> rgba          (two-param)
 
+A two-parameter fragment function also receives the drawn instance's
+bindings (``FragmentCtx.binding(loc)``) — the fragment-stage resource
+access that makes the texture_view / texture_sampler binding kinds
+(``Pipeline.zig:34-55``; in WebGPU these are fragment-stage resources)
+usable per-PIXEL, e.g. UV texture sampling via ``ops.sampling``.
 The default fragment function is the reference's pass-through color
 shader (``Pipeline.zig:12-32``). Fixed raster state defaults match
 ``Pipeline.zig:145-154``: triangle lists, clockwise front faces, back
@@ -81,6 +87,26 @@ def default_fragment_fn(color):
     return color
 
 
+def _fragment_arity(fn) -> int:
+    """Positional-parameter count of a fragment function: 1 (varyings
+    only) or 2 (varyings + FragmentCtx). Validated at Pipeline.create so
+    a malformed program fails HERE, not mid-trace inside the frame
+    program (the WGSL-compile-time analogue, ``Pipeline.zig:95-98``)."""
+    import inspect
+    try:
+        params = inspect.signature(fn).parameters.values()
+    except (TypeError, ValueError):
+        return 1     # non-introspectable callable: assume classic form
+    n = sum(p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            and p.default is p.empty for p in params)
+    if n not in (1, 2):
+        raise ValueError(
+            f"fragment_fn must take (varyings) or (varyings, ctx); "
+            f"{getattr(fn, '__name__', fn)!r} takes {n} required "
+            "positional parameters")
+    return n
+
+
 class Pipeline:
     """A render pipeline: vertex/fragment programs + binding layout +
     raster state. Create through ``Pipeline.create`` (``Pipeline.zig:92``).
@@ -97,6 +123,7 @@ class Pipeline:
         self.vertex_fn = vertex_fn
         self.vertex_batch_fn = vertex_batch_fn
         self.fragment_fn = fragment_fn or default_fragment_fn
+        self.fragment_uses_ctx = _fragment_arity(self.fragment_fn) >= 2
         self.bindings = tuple(bindings)
         self.vertex_layout = vertex_layout
         self.cull_mode = cull_mode

@@ -190,3 +190,73 @@ def test_band_binning_is_band_local():
     # over 4 bands: many triangles miss at least one band, so the sum
     # of per-band exclusions is a healthy fraction of T x bands)
     assert excluded_somewhere > T // 2
+
+
+def test_fragment_ctx_through_sharded_path():
+    """A ctx-consuming fragment program (per-pixel texture sampling)
+    renders through the multi-chip row-sharded path bit-identically on
+    the decision surface vs single-device: the ctx's binding arrays are
+    closed over inside the shard_map body (captured replicated)."""
+    from myrenderer_tpu import (Binding, BindingLayout, Core, Draw,
+                                Instance, Pipeline, Renderer, Surface,
+                                VertexBuffer, VertexLayout, math3d)
+    from myrenderer_tpu.ops.sampling import sample_nearest
+    from myrenderer_tpu.renderer.pipeline import (BUILTIN_TRANSFORM,
+                                                  TEXTURE_VIEW)
+
+    tex = np.zeros((4, 4, 4), np.float32)
+    for y in range(4):
+        for x in range(4):
+            tex[y, x] = ([1, 0, 0, 1] if (x + y) % 2 == 0
+                         else [0, 1, 0, 1])
+
+    def build(mesh):
+        core = Core(fixed_timestep=1.0 / 60.0)
+        window = core.create_window(64, 64, "t")
+        rend = Renderer(core, raster_backend="pallas", mesh=mesh)
+        rend.adopt_window(window)
+        layout = VertexLayout.create([("pos", 2), ("uv", 2)])
+
+        def vfn(ctx):
+            p = ctx.attr("pos")
+            clip = ctx.world @ jnp.stack([p[0], p[1], jnp.float32(1.0),
+                                          jnp.float32(1.0)])
+            uv = ctx.attr("uv")
+            return clip, jnp.stack([uv[0], uv[1], jnp.float32(0.0),
+                                    jnp.float32(1.0)])
+
+        def ffn(vary, ctx):
+            return sample_nearest(ctx.binding(1), vary[..., :2])
+
+        pipe = Pipeline.create(
+            rend, vertex_fn=vfn, fragment_fn=ffn,
+            bindings=[BindingLayout(0, BUILTIN_TRANSFORM),
+                      BindingLayout(1, TEXTURE_VIEW)],
+            vertex_layout=layout)
+        vb = VertexBuffer.new(rend, 0, 2, layout)
+        vb.write_vertices(np.array([
+            [0.1, 0.1, 0, 0], [0.9, 0.1, 1, 0], [0.1, 0.9, 0, 1],
+            [0.9, 0.1, 1, 0], [0.9, 0.9, 1, 1], [0.1, 0.9, 0, 1]],
+            np.float32))
+        node = Instance.create_node(
+            rend, pipeline=pipe, bindings=[Binding(1, attachment=tex)],
+            bounding_box_p0=(0, 0, 0), bounding_box_p1=(1, 1, 2))
+        node.get_backing().set_vertex_buffer(vb)
+        surf = Surface.create_window_scene(rend, window, node)
+        surf.set_perspective(math3d.projection_2d(
+            left=0.0, right=1.0, bottom=1.0, top=0.0, near=0.1, far=2.0))
+        rend.debug_winner = True
+        draw = Draw.create(rend)
+        draw.begin()
+        draw.clear((0, 0, 1, 1))
+        draw.draw_surface(surf)
+        fb = np.asarray(draw.end())
+        return fb, [np.asarray(w) for w in draw.last_winners]
+
+    fb_s, win_s = build(make_mesh(8, rows=8, tris=1))
+    fb_1, win_1 = build(None)
+    for ws, w1 in zip(win_s, win_1):
+        np.testing.assert_array_equal(ws, w1)
+    assert (np.abs(fb_s - fb_1) < 1e-2).all()
+    # the checker actually landed per-pixel
+    assert fb_s[int(0.22 * 64), int(0.22 * 64), 0] > 0.9

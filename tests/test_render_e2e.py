@@ -886,3 +886,209 @@ def test_vertex_buffer_refcounting():
     b.set_vertex_buffer(vb2)          # last holder gone -> freed
     assert vb1.refcount == 0 and not vb1.has_buffer
     assert vb2.refcount == 2
+
+
+# ---------------------------------------------------------------------------
+# fragment-stage binding access (FragmentCtx)
+# ---------------------------------------------------------------------------
+
+def _checker_texture(n=4):
+    """n x n red/green checker."""
+    tex = np.zeros((n, n, 4), np.float32)
+    for y in range(n):
+        for x in range(n):
+            tex[y, x] = [1, 0, 0, 1] if (x + y) % 2 == 0 else [0, 1, 0, 1]
+    return tex
+
+
+def _textured_quad(rend, tex):
+    """A [0.1,0.9]^2 quad (two CW triangles) whose fragment program
+    samples the texture at the interpolated per-PIXEL UV — the
+    fragment-stage resource access the reference's texture_view /
+    texture_sampler binding kinds imply (Pipeline.zig:34-55; in WebGPU
+    those are fragment-stage bind-group entries)."""
+    from myrenderer_tpu.ops.sampling import sample_nearest
+    from myrenderer_tpu.renderer.pipeline import TEXTURE_VIEW
+
+    layout = VertexLayout.create([("pos", 2), ("uv", 2)])
+
+    def vfn(ctx):
+        p = ctx.attr("pos")
+        clip = ctx.world @ jnp.stack([p[0], p[1], jnp.float32(1.0),
+                                      jnp.float32(1.0)])
+        uv = ctx.attr("uv")
+        return clip, jnp.stack([uv[0], uv[1], jnp.float32(0.0),
+                                jnp.float32(1.0)])
+
+    def ffn(vary, ctx):
+        return sample_nearest(ctx.binding(1), vary[..., :2])
+
+    pipe = Pipeline.create(
+        rend, vertex_fn=vfn, fragment_fn=ffn,
+        bindings=[BindingLayout(0, BUILTIN_TRANSFORM),
+                  BindingLayout(1, TEXTURE_VIEW)],
+        vertex_layout=layout)
+    assert pipe.fragment_uses_ctx
+    vb = VertexBuffer.new(rend, 0, 2, layout)
+    lo, hi = 0.1, 0.9
+    vb.write_vertices(np.array([           # CW in y-down UI space
+        [lo, lo, 0, 0], [hi, lo, 1, 0], [lo, hi, 0, 1],
+        [hi, lo, 1, 0], [hi, hi, 1, 1], [lo, hi, 0, 1]], np.float32))
+    node = Instance.create_node(
+        rend, pipeline=pipe, bindings=[Binding(1, attachment=tex)],
+        bounding_box_p0=(0, 0, 0), bounding_box_p1=(1, 1, 2))
+    node.get_backing().set_vertex_buffer(vb)
+    return node
+
+
+@pytest.mark.parametrize("backend", ["oracle", "pallas"])
+def test_fragment_ctx_per_pixel_sampling(backend):
+    """Per-PIXEL UV texture sampling through fragment-stage bindings:
+    a single triangle's interior shows MULTIPLE texel colors — which
+    per-vertex sampling cannot express (the round-4 capability hole:
+    fragment programs previously saw only the 4 varyings)."""
+    rend, window = make_renderer(backend=backend)
+    tex = _checker_texture(4)
+    node = _textured_quad(rend, tex)
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    fb = render_frame(rend, [surf], clear=(0, 0, 1, 1))
+
+    def at(u, v):
+        return fb[int((0.1 + 0.8 * v) * 64), int((0.1 + 0.8 * u) * 64)]
+
+    # texel centers along the top row of the LOWER-LEFT triangle
+    # (u + v <= 1): alternating red/green inside one triangle
+    assert at(0.12, 0.12)[0] > 0.9 and at(0.12, 0.12)[1] < 0.1
+    assert at(0.37, 0.12)[1] > 0.9 and at(0.37, 0.12)[0] < 0.1
+    assert at(0.62, 0.12)[0] > 0.9
+    assert at(0.12, 0.37)[1] > 0.9
+    # outside the quad: clear color
+    assert fb[2, 2, 2] > 0.9
+
+
+def test_fragment_ctx_backends_agree():
+    fbs = {}
+    for backend in ("oracle", "pallas"):
+        rend, window = make_renderer(backend=backend)
+        node = _textured_quad(rend, _checker_texture(4))
+        surf = Surface.create_window_scene(rend, window, node)
+        surf.set_perspective(ortho_unit())
+        fbs[backend] = render_frame(rend, [surf], clear=(0, 0, 1, 1))
+    # nearest-neighbour sampling quantizes away interpolation ulps
+    # everywhere except texel boundaries; require near-total agreement
+    same = np.all(fbs["oracle"] == fbs["pallas"], axis=-1)
+    assert same.mean() > 0.995
+
+
+def test_fragment_ctx_merges_with_flat_batches():
+    """A ctx-consuming fragment program coexists with ctx-free batches
+    in ONE merged raster pass (pallas backend): the textured quad and a
+    flat triangle render correctly and the frame stays merged."""
+    rend, window = make_renderer(backend="pallas")
+    rend.collect_stats = True
+    tex_node = _textured_quad(rend, _checker_texture(4))
+    pipe, layout = flat_pipeline(rend)
+    tri = triangle_node(rend, pipe, layout,
+                        [(0.0, 0.0), (0.12, 0.0), (0.0, 0.12)],
+                        color=(1.0, 1.0, 0.0))
+    root = SceneNode.create(rend)
+    root.add_child(tex_node)
+    root.add_child(tri)
+    surf = Surface.create_window_scene(rend, window, root)
+    surf.set_perspective(ortho_unit())
+    fb = render_frame(rend, [surf], clear=(0, 0, 1, 1))
+    assert rend.frame_stats["merged"]
+    assert rend.frame_stats["fragment_programs"] == 2
+    # flat triangle (in front at z=1? same z — drawn later, but merged
+    # pass keeps within-surface submission depth ties): corner pixel
+    assert fb[1, 1, 0] > 0.9 and fb[1, 1, 1] > 0.9     # yellow
+    # textured quad interior
+    assert fb[int(0.22 * 64), int(0.22 * 64), 0] > 0.9  # red texel
+
+
+def test_fragment_ctx_instances_not_coalesced():
+    """Two instances of one ctx-consuming pipeline must NOT share a
+    batch: each instance's fragment program runs with its OWN bindings
+    (here: different 1x1 textures -> different flat colors)."""
+    from myrenderer_tpu.ops.sampling import sample_nearest
+    from myrenderer_tpu.renderer.pipeline import TEXTURE_VIEW
+
+    rend, window = make_renderer(backend="pallas")
+    layout = VertexLayout.create([("pos", 2), ("uv", 2)])
+
+    def vfn(ctx):
+        p = ctx.attr("pos")
+        clip = ctx.world @ jnp.stack([p[0], p[1], jnp.float32(1.0),
+                                      jnp.float32(1.0)])
+        uv = ctx.attr("uv")
+        return clip, jnp.stack([uv[0], uv[1], jnp.float32(0.0),
+                                jnp.float32(1.0)])
+
+    def ffn(vary, ctx):
+        return sample_nearest(ctx.binding(1), vary[..., :2])
+
+    pipe = Pipeline.create(
+        rend, vertex_fn=vfn, fragment_fn=ffn,
+        bindings=[BindingLayout(0, BUILTIN_TRANSFORM),
+                  BindingLayout(1, TEXTURE_VIEW)],
+        vertex_layout=layout)
+
+    def tri_at(x0, tex):
+        vb = VertexBuffer.new(rend, 0, 1, layout)
+        vb.write_vertices(np.array([
+            [x0, 0.1, 0.5, 0.5], [x0 + 0.3, 0.1, 0.5, 0.5],
+            [x0, 0.6, 0.5, 0.5]], np.float32))
+        node = Instance.create_node(
+            rend, pipeline=pipe, bindings=[Binding(1, attachment=tex)],
+            bounding_box_p0=(0, 0, 0), bounding_box_p1=(1, 1, 2))
+        node.get_backing().set_vertex_buffer(vb)
+        return node
+
+    cyan = np.array([[[0, 1, 1, 1]]], np.float32)
+    magenta = np.array([[[1, 0, 1, 1]]], np.float32)
+    root = SceneNode.create(rend)
+    root.add_child(tri_at(0.05, cyan))
+    root.add_child(tri_at(0.55, magenta))
+    surf = Surface.create_window_scene(rend, window, root)
+    surf.set_perspective(ortho_unit())
+    fb = render_frame(rend, [surf], clear=(0, 0, 0, 1))
+    a = fb[int(0.2 * 64), int(0.12 * 64)]
+    b = fb[int(0.2 * 64), int(0.62 * 64)]
+    assert a[1] > 0.9 and a[2] > 0.9 and a[0] < 0.1      # cyan
+    assert b[0] > 0.9 and b[2] > 0.9 and b[1] < 0.1      # magenta
+
+
+def test_fragment_fn_bad_arity_rejected_at_create():
+    rend, _ = make_renderer()
+    with pytest.raises(ValueError, match="fragment_fn must take"):
+        Pipeline.create(rend, vertex_fn=lambda ctx: None,
+                        fragment_fn=lambda v, ctx, extra: v)
+
+
+def test_wrong_varying_count_attributed():
+    """A vertex function emitting != 4 varying channels fails with the
+    pipeline attributed, not deep inside pack_coeffs_full."""
+    rend, window = make_renderer(backend="pallas")
+    layout = VertexLayout.create([("pos", 2)])
+
+    def bad_vfn(ctx):
+        p = ctx.attr("pos")
+        clip = ctx.world @ jnp.stack([p[0], p[1], jnp.float32(1.0),
+                                      jnp.float32(1.0)])
+        return clip, jnp.stack([p[0], p[1]])     # 2 channels: wrong
+
+    pipe = Pipeline.create(rend, vertex_fn=bad_vfn,
+                           bindings=[BindingLayout(0, BUILTIN_TRANSFORM)],
+                           vertex_layout=layout)
+    vb = VertexBuffer.new(rend, 0, 1, layout)
+    vb.write_vertices(np.array([[0.1, 0.1], [0.9, 0.1], [0.1, 0.9]],
+                               np.float32))
+    node = Instance.create_node(rend, pipeline=pipe,
+                                bounding_box_p0=(0, 0, 0),
+                                bounding_box_p1=(1, 1, 2))
+    node.get_backing().set_vertex_buffer(vb)
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    with pytest.raises(ValueError, match="bad_vfn.*2 varying channels"):
+        render_frame(rend, [surf])
