@@ -78,8 +78,8 @@ class StressApp:
         # available at this tile height. Chunk 64 re-measured on the
         # homogeneous (zn/wn) code in round 4: 76.4/76.9 ms vs
         # 79.3-79.9 anchors in the same batch (VERDICT r3 lever 3) —
-        # now the default. The demo-scale default stays 32-row tiles /
-        # chunk 16.
+        # now the default. (The demo adopted t16c32 in round-4 batch
+        # 13; occupancy differs by 6x, the configs rightly diverge.)
         from ..ops.raster_pallas import RasterConfig
         # stream_factor 1.6: occupancy analysis said the worst orbit
         # group needs >= 1.42x T stream rows; the hardware sweep

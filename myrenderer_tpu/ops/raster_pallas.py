@@ -87,10 +87,14 @@ class RasterConfig:
                                   # (the demo orbit peaks at 72
                                   # straddlers when the camera skims the
                                   # terrain; overflow = recompile hitch)
-    chunk: int = 16               # entries per inner eval block (small
+    chunk: int = 16               # entries per inner eval block. The
+                                  # curve is U-shaped per occupancy
+                                  # (round-4 occupancy probe): small
                                   # chunks cut boundary-chunk waste at
-                                  # sparse tiles: demo 1080p 10.3 ms at
-                                  # 64 -> 7.95 ms at 16)
+                                  # sparse tiles, big ones amortize the
+                                  # ~110-220 ns per-chunk fixed cost at
+                                  # full segments — the demo adopted 32
+                                  # (with tile_h 16), stress 64
     stream_window: int = 128      # coefficient rows per DMA window
                                   # (128 measured best at BOTH scales
                                   # in round 4: demo 7.91 ms vs 9.2
@@ -445,11 +449,12 @@ def bin_packed(packed: jax.Array, valid: jax.Array, bbox, height: int,
     # the gather must read full 128-lane rows: XLA row gathers from a
     # [T, 128] table run ~5x faster per row than from [T, 32] (narrow
     # rows hit a slow sublane path). 4x the logical bytes, but the
-    # gather is row-overhead-bound, not bandwidth-bound. Callers that
-    # pack wide (pack_coeffs_full(lanes=128) — the frame program) skip
-    # the pad op entirely: an f32 [T, 32] is already (8, 128)-lane-
-    # tiled physically in HBM, so the explicit pad was a full physical
-    # table read+write for nothing (~3 ms/frame at 4K/1M). The
+    # gather is row-overhead-bound, not bandwidth-bound. Callers MAY
+    # pack wide (pack_coeffs_full(lanes=128)) to skip the pad op — but
+    # the frame program deliberately packs NARROW: wide packing was
+    # measured net-negative on hardware (round-4 batch 8: XLA builds
+    # the wide table as a 22.9 ms 128-column concatenate at 4K/1M vs
+    # the 3.2 ms pad it replaces — see draw.py _setup_batch). The
     # optimization_barrier is load-bearing either way: without it XLA
     # commutes the pad/zeros-concat past the gather ("gather less
     # data") and the slow narrow gather comes back — measured 93 ms vs

@@ -197,7 +197,9 @@ class Renderer:
         # triangles, at the cost of one device->host sync per frame
         # (microseconds on local hardware). Default False: the flag is
         # polled asynchronously and a steady-state overflow can drop
-        # triangles in up to ~4 published frames before the bump lands.
+        # triangles in up to Draw.OVERFLOW_WINDOW (8) published frames
+        # before the bump lands (frame_stats['overflow_risk_frames']
+        # reports the live value).
         self.strict_overflow = False
 
     # -- lifecycle (Renderer.zig:36-56) ------------------------------------

@@ -552,6 +552,21 @@ def _frame_fn(plan: _FramePlan, args):
 # --------------------------------------------------------------------------
 
 class Draw:
+    # Worst-case number of published frames that can carry silently
+    # dropped triangles after a capacity overflow in the DEFAULT
+    # (async-polled) overflow mode: overflow flags ride an async
+    # device->host copy and the queue only force-drains (blocking read)
+    # beyond this many outstanding flags. Sized to exceed the remote
+    # relay's ~25-30 ms flag-arrival latency at the demo's ~4 ms frames
+    # (round-4 cProfile: a 3-deep bound sat BELOW the latency, so every
+    # frame blocked ~4.5 ms mid-transfer reading a flag that wasn't
+    # ready). The reference never publishes a wrong frame (pre-sized
+    # buffers, Instance.zig:96-103); the zero-dropped-frames guarantee
+    # here is the synchronous window right after a (re)build plus
+    # Renderer.strict_overflow (sync check EVERY frame). Exposed in
+    # frame_stats as 'overflow_risk_frames'.
+    OVERFLOW_WINDOW = 8
+
     def __init__(self, renderer):
         self.renderer = renderer
         self._items: list = []
@@ -619,15 +634,16 @@ class Draw:
         # consumed as they become ready (is_ready poll — a blocking read
         # per frame would serialize host and device). A flag is acted on
         # a few frames after its overflow — overflow is never SILENT:
-        # the queue is force-drained beyond 8 outstanding flags (sized
-        # so flags become host-ready before their turn — see
-        # _poll_overflow_queue), and the
-        # DETECTING frame is re-rendered with the bumped plan before it
-        # publishes. Frames between the overflow and its detection (at
-        # most the 8-deep queue) publish with dropped triangles; the
-        # synchronous window right after a (re)build and the opt-in
+        # the queue is force-drained beyond OVERFLOW_WINDOW outstanding
+        # flags (sized so flags become host-ready before their turn —
+        # see the constant's comment), and the DETECTING frame is
+        # re-rendered with the bumped plan before it publishes. Frames
+        # between the overflow and its detection (at most the
+        # OVERFLOW_WINDOW-deep queue) publish with dropped triangles;
+        # the synchronous window right after a (re)build and the opt-in
         # ``Renderer.strict_overflow`` (sync check EVERY frame) give
         # the zero-dropped-frames guarantee where it matters.
+        overflow_risk = 0      # frames that may publish drops undetected
         if plan.raster_cfg is not None and self._big_scale < 256:
             if self._frames_since_rebuild < 3 or rend.strict_overflow:
                 # synchronous check: right after a (re)build, and every
@@ -638,6 +654,7 @@ class Draw:
                 need_rebuild = np.asarray(overflow).any()
             else:
                 need_rebuild = self._poll_overflow_queue()
+                overflow_risk = self.OVERFLOW_WINDOW
             while need_rebuild and self._big_scale < 256:
                 # x4: every bump is a shape change and therefore a full
                 # recompile — overshooting capacity is far cheaper
@@ -682,6 +699,10 @@ class Draw:
                 "fragment_programs": len(
                     {b.pipeline.fragment_fn
                      for s in plan.surfaces for b in s.batches}),
+                # worst-case published frames that can carry dropped
+                # triangles before a capacity overflow is detected
+                # (0 = this frame's flag was checked synchronously)
+                "overflow_risk_frames": overflow_risk,
             }
         return fb
 
@@ -727,8 +748,9 @@ class Draw:
     def _poll_overflow_queue(self) -> bool:
         """Consume whatever queued overflow flags have arrived on the
         host (oldest first); block only when the queue backs up beyond
-        3 frames (bounds both memory and detection latency). Returns
-        True when any consumed flag reports an overflow."""
+        ``OVERFLOW_WINDOW`` frames (bounds both memory and detection
+        latency). Returns True when any consumed flag reports an
+        overflow."""
         hit = False
         q = self._pending_overflow
         while q:
@@ -738,16 +760,21 @@ class Draw:
                 ready = arr.is_ready()
             except AttributeError:
                 pass
-            if not ready and len(q) <= 8:
-                # The bound must exceed the relay's flag arrival
-                # latency in frames (~25-30 ms RTT / ~8 ms frames = 4)
-                # or EVERY frame force-drains mid-transfer: the
-                # round-4 host cProfile measured the old 3-deep bound
-                # at ~4.5 ms/frame of blocking reads — over half the
-                # demo's host overhead — while flags only become
-                # is_ready() after ~4 frames. At 8 deep a flag has
-                # ~2x the RTT to arrive, so steady-state pops are
-                # ready and free; pred[3] flags make queue memory moot.
+            if not ready and len(q) < self.OVERFLOW_WINDOW:
+                # Pop (blocking if needed) while the queue holds
+                # OVERFLOW_WINDOW flags, so a flag is read at most
+                # OVERFLOW_WINDOW frames after its overflow — the
+                # documented worst-case drop window, pinned by
+                # test_overflow_detection_window_is_bounded. The bound
+                # must exceed the relay's flag arrival latency in
+                # frames (~25-30 ms RTT / ~8 ms frames = 4) or EVERY
+                # frame force-drains mid-transfer: the round-4 host
+                # cProfile measured the old 3-deep bound at ~4.5
+                # ms/frame of blocking reads — over half the demo's
+                # host overhead — while flags only become is_ready()
+                # after ~4 frames. At 8 deep a flag has ~2x the RTT to
+                # arrive, so steady-state pops are ready and free;
+                # pred[3] flags make queue memory moot.
                 break
             q.pop(0)
             hit |= bool(np.asarray(arr).any())
@@ -875,6 +902,13 @@ class Draw:
                     else (0.0, 0.0, 0.0, 0.0))
             cdev = self._clear_cache.get(ckey)
             if cdev is None:
+                if len(self._clear_cache) >= 64:
+                    # an app animating its clear color must not leak a
+                    # device array per distinct color (ADVICE r4):
+                    # evict the oldest half (dict preserves insertion
+                    # order; steady colors re-enter at first reuse)
+                    for k in list(self._clear_cache)[:32]:
+                        del self._clear_cache[k]
                 cdev = self._clear_cache[ckey] = jnp.asarray(
                     np.asarray(ckey, np.float32))
             surfaces.append({

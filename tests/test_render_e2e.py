@@ -1092,3 +1092,83 @@ def test_wrong_varying_count_attributed():
     surf.set_perspective(ortho_unit())
     with pytest.raises(ValueError, match="bad_vfn.*2 varying channels"):
         render_frame(rend, [surf])
+
+
+class _NeverReadyFlag:
+    """Simulates a device->host overflow-flag copy that never becomes
+    ready (worst-case relay latency): is_ready() is always False, but a
+    blocking read (np.asarray) still works — exactly the force-drain
+    path's view of a stuck flag."""
+
+    def __init__(self, arr):
+        self._arr = arr
+
+    def is_ready(self):
+        return False
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.asarray(self._arr)
+        return a if dtype is None else a.astype(dtype)
+
+
+def test_overflow_detection_window_is_bounded():
+    """The worst-case published-drop window is Draw.OVERFLOW_WINDOW
+    frames, even when overflow flags NEVER become host-ready: the
+    force-drain bound blocks on the oldest flag once the queue exceeds
+    the window, so a steady-state overflow is always detected and
+    capacity bumped within OVERFLOW_WINDOW + 1 frames.
+    frame_stats['overflow_risk_frames'] reports the live window."""
+    from myrenderer_tpu.ops.raster_pallas import RasterConfig
+
+    cfg = RasterConfig(tile_h=8, tile_w=128, max_tiles_per_tri=1,
+                       big_capacity=8, chunk=8, interpret=True)
+    rend, window = make_renderer(64, 64, backend="pallas")
+    rend.collect_stats = True
+    rend.raster_cfg = cfg
+    pipe, layout = flat_pipeline(rend)
+    pts = []
+    for i in range(12):
+        x = 0.02 + 0.08 * i
+        pts += [(x, 0.02), (x + 0.06, 0.02), (x, 0.1)]
+    node = triangle_node(rend, pipe, layout, pts)
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    draw = Draw.create(rend)
+
+    def frame():
+        draw.begin()
+        draw.clear((0, 0, 1, 1))
+        draw.draw_surface(surf)
+        draw.end()
+        rend.update()
+        # worst case: no flag ever becomes ready on its own
+        draw._pending_overflow = [
+            f if isinstance(f, _NeverReadyFlag) else _NeverReadyFlag(f)
+            for f in draw._pending_overflow]
+
+    for _ in range(4):
+        frame()
+    assert draw._big_scale == 1
+    assert rend.frame_stats["overflow_risk_frames"] == Draw.OVERFLOW_WINDOW
+
+    # every triangle becomes 'big' -> steady-state overflow
+    node.set_xform(math3d.scale((1.0, 8.0, 1.0)))
+    detected_after = None
+    for i in range(Draw.OVERFLOW_WINDOW + 2):
+        frame()
+        if draw._big_scale > 1:
+            detected_after = i
+            break
+    assert detected_after is not None, (
+        "overflow never detected with never-ready flags — the "
+        "force-drain bound is broken")
+    assert detected_after <= Draw.OVERFLOW_WINDOW, (
+        f"drop window {detected_after} exceeds the documented "
+        f"OVERFLOW_WINDOW={Draw.OVERFLOW_WINDOW}")
+    # the detecting frame re-rendered before publishing
+    assert not np.asarray(draw.last_overflow).any()
+
+    # strict mode reports a zero-frame window
+    rend.strict_overflow = True
+    frame()
+    assert rend.frame_stats["overflow_risk_frames"] == 0
