@@ -1,9 +1,16 @@
 #!/usr/bin/env python
-"""Benchmark: the full App demo scene at 1080p.
+"""Benchmark: the full App demo scene at 1080p, plus the other two
+headline configs (4K/1M-triangle stress, 8K demo) as extra rows.
 
 Prints ONE JSON line:
   {"metric": "demo_1080p_fps", "value": N, "unit": "frames/sec",
-   "vs_baseline": M}
+   "vs_baseline": M, "extra_metrics": [stress-4K/1M row, 8K-demo row]}
+
+The extra rows regression-track what BASELINE.md claims (VERDICT r4
+weak #5: the stress and 8K headlines previously lived only in prose).
+Each carries min/median/max over its runs and an overflow guard — a
+frame that dropped triangles must not masquerade as a perf win
+(``app/stress.py`` posture).
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is
 measured against this repo's own CPU oracle rasterizer on the same
@@ -120,11 +127,66 @@ def probe_backend(timeout_s: int = 900) -> bool:
         return False
 
 
+def _timed_rows(app, frames: int, runs: int, triangles: int) -> dict:
+    """min/median/max row over ``runs`` timed runs + overflow guard."""
+    import numpy as np
+    times = measure(app, frames, runs=runs)
+    ovf = np.asarray(app.draw.last_overflow)
+    fps = 1.0 / times[0]
+    return {
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "ms_per_frame": round(times[0] * 1000, 3),
+        "mtri_per_sec": round(triangles * fps / 1e6, 2),
+        "runs_ms": [round(t * 1000, 3) for t in times],
+        "median_ms": round(times[len(times) // 2] * 1000, 3),
+        "max_ms": round(times[-1] * 1000, 3),
+        "overflow": bool(ovf.any()),
+    }
+
+
+def extra_headline_rows(backend: str) -> list:
+    """The other two BASELINE.md headline configs: 4K/1M+10k-instance
+    stress and the 8K demo. Best-effort — a failure in one row reports
+    an error field instead of killing the headline metric."""
+    rows = []
+    try:
+        from myrenderer_tpu.app.stress import StressApp
+        app = StressApp(width=3840, height=2160, terrain_size=708,
+                        instances=10000, backend=backend)
+        row = {"metric": "stress_4k_1m_fps",
+               **_timed_rows(app, frames=4, runs=3,
+                             triangles=app.triangles)}
+        if row.pop("overflow"):
+            row = {"metric": "stress_4k_1m_fps", "value": None,
+                   "error": "overflow during timed loop"}
+        rows.append(row)
+        del app
+    except Exception as exc:
+        rows.append({"metric": "stress_4k_1m_fps", "value": None,
+                     "error": repr(exc)[:200]})
+    try:
+        app = DemoApp(width=7680, height=4320, backend=backend)
+        row = {"metric": "demo_8k_fps",
+               **_timed_rows(app, frames=30, runs=3,
+                             triangles=DEMO_TRIANGLES)}
+        if row.pop("overflow"):
+            row = {"metric": "demo_8k_fps", "value": None,
+                   "error": "overflow during timed loop"}
+        rows.append(row)
+    except Exception as exc:
+        rows.append({"metric": "demo_8k_fps", "value": None,
+                     "error": repr(exc)[:200]})
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--size", default=None, help="override WxH")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the stress/8K extra rows")
     args = ap.parse_args()
 
     if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") \
@@ -165,7 +227,7 @@ def main():
 
     metric = "demo_1080p_fps" if (w, h) == (1920, 1080) else \
         f"demo_{w}x{h}_fps"
-    print(json.dumps({
+    result = {
         "metric": metric,
         "value": round(fps, 2),
         "unit": "frames/sec",
@@ -176,7 +238,10 @@ def main():
         "runs_ms": [round(t * 1000, 3) for t in times],
         "median_ms": round(times[len(times) // 2] * 1000, 3),
         "max_ms": round(times[-1] * 1000, 3),
-    }))
+    }
+    if not (args.smoke or args.size or args.headline_only):
+        result["extra_metrics"] = extra_headline_rows(backend)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
