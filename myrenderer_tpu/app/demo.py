@@ -63,22 +63,11 @@ class DemoApp:
                                  mesh=self.mesh)
         if self.raster is not None:
             self.renderer.raster_cfg = self.raster
-        else:
-            # measured-best demo-scale config (round-4 batches 10-12,
-            # BASELINE.md): 16-row tiles + 32-entry chunks HALVE demo
-            # device time vs the round-3 t8c16 pick (xplane ledger
-            # 3.66 vs 7.04 ms/frame; kernel 2.86 vs 6.09) and win 2.7x
-            # at 8K (88 vs 242 ms same-batch). Doubling the tile
-            # doubles per-tile segment fill (~44 rows) so chunk-32
-            # evals run full while program count halves; the batch-10
-            # occupancy probe showed the chunk curve is U-shaped at
-            # this occupancy (c16 1.66 / c32 1.43 / c64 1.87 us/tile),
-            # and the c32-vs-c64 ledger A/B confirmed on the full app
-            # (3.66 vs 4.27 ms). stream_window 128 is the sparse-tile
-            # DMA-wait fix (batch-6/7 sweeps: w256 9.2 -> w128 7.91).
-            from ..ops.raster_pallas import RasterConfig
-            self.renderer.raster_cfg = RasterConfig(
-                tile_h=16, chunk=32, stream_window=128)
+        # else: resolution/occupancy-adaptive defaults
+        # (ops.raster_pallas.auto_config) — at 1080p they resolve to
+        # the measured-best t16c32w128 of round-4 batches 10-13, and
+        # unlike a hand-pinned config they scale the tile with the
+        # frame (8K: t16 86 -> t32 43 ms, round-5 batch 15)
         # scene construction is DEFERRED to the window_open event, the
         # reference's lifecycle (App.zig:54-92 builds the scene inside
         # the event branch of the first tick). create_window enqueued

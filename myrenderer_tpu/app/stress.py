@@ -72,25 +72,14 @@ class StressApp:
         self.window = self.core.create_window(width, height, "stress")
         self.renderer = Renderer(self.core, raster_backend=backend)
         self.renderer.adopt_window(self.window)
-        # megatriangle tuning: 8-row tiles cut the kernel's per-entry
-        # pixel waste at sub-pixel triangle sizes (median bbox 2.3 px^2
-        # here) — split-frame binning keeps the fused u32 bin sort
-        # available at this tile height. Chunk 64 re-measured on the
-        # homogeneous (zn/wn) code in round 4: 76.4/76.9 ms vs
-        # 79.3-79.9 anchors in the same batch (VERDICT r3 lever 3) —
-        # now the default. (The demo adopted t16c32 in round-4 batch
-        # 13; occupancy differs by 6x, the configs rightly diverge.)
-        from ..ops.raster_pallas import RasterConfig
-        # stream_factor 1.6: occupancy analysis said the worst orbit
-        # group needs >= 1.42x T stream rows; the hardware sweep
-        # (BASELINE.md round-3 batch) measured 79.3 ms/frame vs 84.8
-        # at the safe 2.0 default — less dead slack sorts ahead of
-        # the live incidences and the gather shrinks.
-        # stream_window 128: same-batch A/B at stress 76.8 vs 81.4 ms
-        # (w256) — the round-4 DMA-wait finding generalizes beyond the
-        # demo (BASELINE.md round-4 forensics)
-        self.renderer.raster_cfg = raster or RasterConfig(
-            tile_h=8, chunk=64, stream_window=128, stream_factor=1.6)
+        # raster config: explicit --raster override, else the
+        # resolution/occupancy-adaptive defaults — at 8 px/tri this
+        # workload selects the megatriangle branch of
+        # ops.raster_pallas.auto_config (t8 c64 w128 sf1.6), exactly
+        # the measured-best hand-pinned config it replaces (round-3/4
+        # sweeps; rationale in the auto_config docstring)
+        if raster is not None:
+            self.renderer.raster_cfg = raster
 
         hm = default_heightmap(terrain_size)
         terrain_mod = Terrain(self.renderer)

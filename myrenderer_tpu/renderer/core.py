@@ -174,6 +174,12 @@ class Renderer:
         # (pallas on TPU, oracle elsewhere)
         self.raster_backend = raster_backend
 
+        # optional explicit RasterConfig; None (default) selects
+        # resolution/occupancy-adaptive tiling per frame plan
+        # (ops.raster_pallas.auto_config) — the reference rasterizes
+        # at any window size with no knob (Surface.zig:76-94)
+        self.raster_cfg = None
+
         # observability (SURVEY.md §5.5): when True, Draw.end fills
         # frame_stats with per-frame counters (no device sync)
         self.collect_stats = False

@@ -814,12 +814,18 @@ class Draw:
             s.rebuild()
             surfaces.append(_build_batches(s, rend))
         # every plan (oracle too) carries a raster config: the oracle
-        # path consumes clip_capacity/big_scale for eye-plane clipping
+        # path consumes clip_capacity/big_scale for eye-plane clipping.
+        # No explicit Renderer.raster_cfg -> resolution/occupancy-
+        # adaptive defaults (auto_config): the reference needs no
+        # per-resolution knob (Surface.zig:76-94), and neither do apps
+        # here — tile/chunk/window select from (W, H, triangle count)
         import dataclasses
 
         from ..ops import raster_pallas
         raster_cfg = getattr(rend, "raster_cfg", None) or \
-            raster_pallas.RasterConfig()
+            raster_pallas.auto_config(
+                window.width, window.height,
+                sum(b.tri_count for s in surfaces for b in s.batches))
         raster_cfg = dataclasses.replace(
             raster_cfg, big_scale=big_scale,
             interpret=(raster_cfg.interpret

@@ -485,3 +485,59 @@ def test_config_from_flag_slots():
         rp.config_from_flag("8,128,32,256,1,0,0,4")
     with pytest.raises(ValueError, match="packed_stream.*pruned"):
         rp.config_from_flag("8,128,32,256,1,0,0,0,0,1")
+
+
+def test_auto_config_mapping():
+    """Resolution/occupancy-adaptive defaults reproduce the measured-
+    best hand-pinned configs they replaced (BASELINE.md batches; the
+    reference rasterizes at any window size with no knob,
+    Surface.zig:76-94)."""
+    DEMO_T = 20007
+    STRESS_T = 708 * 708 * 2 + 10000
+
+    c = rp.auto_config(1920, 1080, DEMO_T)        # 103 px/tri
+    assert (c.tile_h, c.chunk, c.stream_window) == (16, 32, 128)
+    c = rp.auto_config(3840, 2160, DEMO_T)        # 415 px/tri
+    assert (c.tile_h, c.chunk) == (32, 32)
+    c = rp.auto_config(7680, 4320, DEMO_T)        # 1659 px/tri
+    assert c.tile_h >= 32 and c.chunk == 32
+    c = rp.auto_config(3840, 2160, STRESS_T)      # 8.2 px/tri
+    assert (c.tile_h, c.chunk, c.stream_window) == (8, 64, 128)
+    assert c.stream_factor == 1.6
+    # tiny probe windows with dense scenes hit the megatriangle branch
+    c = rp.auto_config(64, 64, DEMO_T)
+    assert c.tile_h == 8
+    # unknown triangle count: demo-class fallback, never megatriangle
+    c = rp.auto_config(1920, 1080, None)
+    assert c.tile_h >= 16 and c.stream_factor == 2.0
+
+
+def test_auto_config_is_the_planner_default():
+    """With no explicit Renderer.raster_cfg the frame plan carries the
+    auto-selected config (and an explicit config still wins)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_render_e2e import (flat_pipeline, make_renderer,
+                                 ortho_unit, render_frame, triangle_node)
+
+    from myrenderer_tpu import Draw, Surface
+
+    rend, window = make_renderer(64, 64, backend="pallas")
+    pipe, layout = flat_pipeline(rend)
+    node = triangle_node(rend, pipe, layout,
+                         [(0.1, 0.1), (0.9, 0.1), (0.1, 0.9)])
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    render_frame(rend, [surf])
+    draw = rend.draws[-1]
+    plan = draw._get_plan(window)
+    want = rp.auto_config(64, 64, 1)
+    assert plan.raster_cfg.tile_h == want.tile_h
+    assert plan.raster_cfg.chunk == want.chunk
+
+    rend.raster_cfg = rp.RasterConfig(tile_h=8, chunk=8, interpret=True)
+    rend.bump_scene_version()
+    render_frame(rend, [surf])
+    plan = draw._get_plan(window)
+    assert (plan.raster_cfg.tile_h, plan.raster_cfg.chunk) == (8, 8)
