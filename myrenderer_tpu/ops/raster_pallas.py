@@ -170,7 +170,12 @@ def auto_config(width: int, height: int,
 
     stream_window 128 is universal (round-4 batch 6/7 sweeps, both
     scales). Degenerate/unknown T falls back to the demo-class mapping
-    at 512 px/tri."""
+    at 512 px/tri.
+
+    t64 is the CEILING, not just the 8K winner: t128c32 at 8K fails to
+    compile — the kernel's scoped-VMEM stack hits 16.20M against the
+    16.00M v5e limit (round-5 batch 17) — so the sqrt(px/tri) trend
+    terminates at the hardware and no higher branch should be added."""
     px_per_tri = ((width * height / triangles)
                   if triangles else 512.0)
     if px_per_tri < 32.0:
