@@ -128,10 +128,25 @@ def probe_backend(timeout_s: int = 900) -> bool:
 
 
 def _timed_rows(app, frames: int, runs: int, triangles: int) -> dict:
-    """min/median/max row over ``runs`` timed runs + overflow guard."""
+    """min/median/max row over ``runs`` timed runs + overflow guard.
+
+    The guard must catch a TRANSIENT overflow, not just the final
+    frame's flag: any detected overflow bumps the capacity ladder
+    (Draw._big_scale), so the pre/post scale delta witnesses drops the
+    loop already repaired, and the still-queued async flags are drained
+    and read after timing (a final-flag-only check reported such runs
+    as clean while up to OVERFLOW_WINDOW timed frames had dropped
+    triangles)."""
     import numpy as np
+    app.tick()   # settle warmup/capacity OUTSIDE the guard window
+    jax.block_until_ready(app.window.framebuffer)
+    scale0 = app.draw._big_scale
     times = measure(app, frames, runs=runs)
-    ovf = np.asarray(app.draw.last_overflow)
+    overflow = app.draw._big_scale != scale0
+    flags = list(app.draw._pending_overflow)
+    if app.draw.last_overflow is not None:
+        flags.append(app.draw.last_overflow)
+    overflow = overflow or any(bool(np.asarray(f).any()) for f in flags)
     fps = 1.0 / times[0]
     return {
         "value": round(fps, 2),
@@ -141,39 +156,44 @@ def _timed_rows(app, frames: int, runs: int, triangles: int) -> dict:
         "runs_ms": [round(t * 1000, 3) for t in times],
         "median_ms": round(times[len(times) // 2] * 1000, 3),
         "max_ms": round(times[-1] * 1000, 3),
-        "overflow": bool(ovf.any()),
+        "overflow": overflow,
     }
+
+
+def _guarded_row(metric: str, app, frames: int, runs: int,
+                 triangles: int) -> dict:
+    """A named row whose value is nulled on overflow — a frame that
+    dropped triangles must not masquerade as a perf win."""
+    row = {"metric": metric,
+           **_timed_rows(app, frames=frames, runs=runs,
+                         triangles=triangles)}
+    if row.pop("overflow"):
+        return {"metric": metric, "value": None,
+                "error": "overflow during timed loop"}
+    return row
 
 
 def extra_headline_rows(backend: str) -> list:
     """The other two BASELINE.md headline configs: 4K/1M+10k-instance
     stress and the 8K demo. Best-effort — a failure in one row reports
-    an error field instead of killing the headline metric."""
+    an error field instead of killing the headline metric. Callers must
+    gate on an accelerator backend: these scenes are computationally
+    infeasible on the dense CPU oracle (hours per frame)."""
     rows = []
     try:
         from myrenderer_tpu.app.stress import StressApp
         app = StressApp(width=3840, height=2160, terrain_size=708,
                         instances=10000, backend=backend)
-        row = {"metric": "stress_4k_1m_fps",
-               **_timed_rows(app, frames=4, runs=3,
-                             triangles=app.triangles)}
-        if row.pop("overflow"):
-            row = {"metric": "stress_4k_1m_fps", "value": None,
-                   "error": "overflow during timed loop"}
-        rows.append(row)
+        rows.append(_guarded_row("stress_4k_1m_fps", app, frames=4,
+                                 runs=3, triangles=app.triangles))
         del app
     except Exception as exc:
         rows.append({"metric": "stress_4k_1m_fps", "value": None,
                      "error": repr(exc)[:200]})
     try:
         app = DemoApp(width=7680, height=4320, backend=backend)
-        row = {"metric": "demo_8k_fps",
-               **_timed_rows(app, frames=30, runs=3,
-                             triangles=DEMO_TRIANGLES)}
-        if row.pop("overflow"):
-            row = {"metric": "demo_8k_fps", "value": None,
-                   "error": "overflow during timed loop"}
-        rows.append(row)
+        rows.append(_guarded_row("demo_8k_fps", app, frames=30,
+                                 runs=3, triangles=DEMO_TRIANGLES))
     except Exception as exc:
         rows.append({"metric": "demo_8k_fps", "value": None,
                      "error": repr(exc)[:200]})
@@ -207,39 +227,38 @@ def main():
 
     backend = "pallas" if jax.default_backend() != "cpu" else "oracle"
     app = DemoApp(width=w, height=h, backend=backend)
-    times = measure(app, frames)
-    spf = times[0]
-    fps = 1.0 / spf
-    mtris = DEMO_TRIANGLES * fps / 1e6
+    metric = "demo_1080p_fps" if (w, h) == (1920, 1080) else \
+        f"demo_{w}x{h}_fps"
+    # headline = min-of-5 with the runs_ms spread for regression
+    # forensics (ADVICE r3: min alone hides a bimodal device-side
+    # regression); same overflow-nulling rule as the extra rows
+    row = _guarded_row(metric, app, frames=frames, runs=5,
+                       triangles=DEMO_TRIANGLES)
 
     try:
         base_fps = cpu_oracle_baseline(w, h)
-        vs_baseline = fps / base_fps
+        vs_baseline = (row["value"] / base_fps) if row.get("value") \
+            else None
     except Exception as exc:  # baseline measurement is best-effort
         print(f"baseline measurement failed: {exc}", file=sys.stderr)
         base_fps, vs_baseline = None, None
 
     print(f"# {w}x{h} {backend} on {jax.default_backend()}: "
-          f"{spf * 1000:.2f} ms/frame, {mtris:.1f} Mtri/s submitted, "
+          f"{row.get('ms_per_frame', 'n/a')} ms/frame, "
+          f"{row.get('mtri_per_sec', 'n/a')} Mtri/s submitted, "
           f"cpu-oracle baseline: "
           f"{base_fps if base_fps else 'n/a'} fps",
           file=sys.stderr)
 
-    metric = "demo_1080p_fps" if (w, h) == (1920, 1080) else \
-        f"demo_{w}x{h}_fps"
     result = {
-        "metric": metric,
-        "value": round(fps, 2),
+        **row,
         "unit": "frames/sec",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        # spread of the 5 runs for regression forensics (ADVICE r3):
-        # the headline is min-of-5 (one-sided relay noise); a bimodal
-        # device-side regression shows up here as median/max blowup
-        "runs_ms": [round(t * 1000, 3) for t in times],
-        "median_ms": round(times[len(times) // 2] * 1000, 3),
-        "max_ms": round(times[-1] * 1000, 3),
     }
-    if not (args.smoke or args.size or args.headline_only):
+    # the stress/8K scenes are computationally infeasible on the dense
+    # CPU oracle (hours per frame) — accelerator runs only
+    if not (args.smoke or args.size or args.headline_only) \
+            and backend == "pallas":
         result["extra_metrics"] = extra_headline_rows(backend)
     print(json.dumps(result))
 

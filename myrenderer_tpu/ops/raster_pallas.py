@@ -308,8 +308,10 @@ def bin_triangles(tc: rc.TriCoeffs, tri_clip: jax.Array, height: int,
     shards): the viewport transform always uses the FULL frame height
     ``vp_height``, while the tile grid covers rows [y0, y0 + height).
     ``y0`` may be a traced scalar (each shard binds its own offset).
-    Triangles outside the band clamp to border tiles and are rejected
-    by the kernel's (global-coordinate) coverage test."""
+    Triangles whose bbox misses the band are CULLED before binning
+    (``bin_packed``'s band-local cull, round 5) so per-device stream
+    entries scale with band content; the kernel's global-coordinate
+    coverage test remains the exactness backstop for the survivors."""
     vp_height = height if vp_height is None else vp_height
     return bin_packed(rc.pack_coeffs_full(tc), tc.valid,
                       viewport_bbox(tri_clip, width, vp_height),

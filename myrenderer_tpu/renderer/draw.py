@@ -644,6 +644,11 @@ class Draw:
         # ``Renderer.strict_overflow`` (sync check EVERY frame) give
         # the zero-dropped-frames guarantee where it matters.
         overflow_risk = 0      # frames that may publish drops undetected
+        if plan.raster_cfg is not None and self._big_scale >= 256:
+            # capacity ladder capped: flags are no longer checked and a
+            # still-overflowing scene drops triangles UNBOUNDED — report
+            # -1, never a false "checked synchronously" 0
+            overflow_risk = -1
         if plan.raster_cfg is not None and self._big_scale < 256:
             if self._frames_since_rebuild < 3 or rend.strict_overflow:
                 # synchronous check: right after a (re)build, and every
@@ -701,7 +706,9 @@ class Draw:
                      for s in plan.surfaces for b in s.batches}),
                 # worst-case published frames that can carry dropped
                 # triangles before a capacity overflow is detected
-                # (0 = this frame's flag was checked synchronously)
+                # (0 = this frame's flag was checked synchronously;
+                # -1 = capacity ladder capped at big_scale 256: flags
+                # are unchecked and drops are unbounded)
                 "overflow_risk_frames": overflow_risk,
             }
         return fb

@@ -89,22 +89,33 @@ def default_fragment_fn(color):
 
 def _fragment_arity(fn) -> int:
     """Positional-parameter count of a fragment function: 1 (varyings
-    only) or 2 (varyings + FragmentCtx). Validated at Pipeline.create so
-    a malformed program fails HERE, not mid-trace inside the frame
-    program (the WGSL-compile-time analogue, ``Pipeline.zig:95-98``)."""
+    only) or 2 (varyings + FragmentCtx). A function opts into the ctx
+    by declaring a second positional parameter — required, or
+    defaulted-and-named ``ctx`` (so ``def f(vary, ctx=None)`` still
+    receives its bindings rather than silently shading with ctx=None).
+    ``*args`` callables keep the classic single-argument call (they
+    predate the ctx contract and cannot be told apart). Validated at
+    Pipeline.create so a malformed program fails HERE, not mid-trace
+    inside the frame program (the WGSL-compile-time analogue,
+    ``Pipeline.zig:95-98``)."""
     import inspect
     try:
-        params = inspect.signature(fn).parameters.values()
+        params = list(inspect.signature(fn).parameters.values())
     except (TypeError, ValueError):
         return 1     # non-introspectable callable: assume classic form
-    n = sum(p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-            and p.default is p.empty for p in params)
-    if n not in (1, 2):
+    pos = [p for p in params
+           if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+    n_req = sum(p.default is p.empty for p in pos)
+    if any(p.kind is p.VAR_POSITIONAL for p in params):
+        return 2 if n_req >= 2 else 1
+    if n_req > 2 or not pos:
         raise ValueError(
             f"fragment_fn must take (varyings) or (varyings, ctx); "
-            f"{getattr(fn, '__name__', fn)!r} takes {n} required "
+            f"{getattr(fn, '__name__', fn)!r} takes {n_req} required "
             "positional parameters")
-    return n
+    if n_req == 2 or (len(pos) >= 2 and pos[1].name == "ctx"):
+        return 2
+    return 1
 
 
 class Pipeline:

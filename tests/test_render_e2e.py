@@ -1066,6 +1066,27 @@ def test_fragment_fn_bad_arity_rejected_at_create():
                         fragment_fn=lambda v, ctx, extra: v)
 
 
+def test_fragment_arity_contract():
+    """FragmentCtx opt-in rules: a second REQUIRED positional param, or
+    one defaulted and NAMED ``ctx`` (so ``f(vary, ctx=None)`` receives
+    its bindings instead of silently shading with ctx=None); ``*args``
+    callables keep the classic single-argument call (round-5 review:
+    these were rejected at create despite being previously valid)."""
+    from myrenderer_tpu.renderer.pipeline import _fragment_arity
+    assert _fragment_arity(lambda v: v) == 1
+    assert _fragment_arity(lambda v, ctx: v) == 2
+    assert _fragment_arity(lambda v, ctx=None: v) == 2
+    assert _fragment_arity(lambda v, scale=2.0: v) == 1   # not a ctx
+    assert _fragment_arity(lambda *a: a[0]) == 1          # classic call
+
+    def two_req_then_var(v, ctx, *rest):
+        return v
+
+    assert _fragment_arity(two_req_then_var) == 2
+    with pytest.raises(ValueError, match="fragment_fn must take"):
+        _fragment_arity(lambda: None)
+
+
 def test_wrong_varying_count_attributed():
     """A vertex function emitting != 4 varying channels fails with the
     pipeline attributed, not deep inside pack_coeffs_full."""
