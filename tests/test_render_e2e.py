@@ -1193,3 +1193,11 @@ def test_overflow_detection_window_is_bounded():
     rend.strict_overflow = True
     frame()
     assert rend.frame_stats["overflow_risk_frames"] == 0
+
+    # capacity ladder capped: flag checking is skipped entirely (even
+    # under strict), so the risk field must say unbounded (-1), never
+    # a false "checked synchronously" 0 (round-5 review)
+    rend.strict_overflow = False
+    draw._big_scale = 256
+    frame()
+    assert rend.frame_stats["overflow_risk_frames"] == -1
