@@ -23,7 +23,7 @@ from test_raster_pallas import random_triangles
 
 
 def _random_cfg(rng):
-    tile_h = int(rng.choice([8, 16, 32]))
+    tile_h = int(rng.choice([8, 16, 32, 64]))
     chunk = int(rng.choice([8, 16, 32, 64]))
     window = int(chunk * rng.choice([1, 2, 4]))
     if window % 8:
@@ -51,8 +51,14 @@ def test_random_configs_match_oracle():
     tc = rc.triangle_setup(clip, vary, valid, W, H, "back")
     d_ref, w_ref = rr.rasterize_visibility(tc, H, W)
 
-    for trial in range(6):
-        cfg = _random_cfg(rng)
+    # auto_config's 8K pick (t64c32w128) always in the matrix: tile_h
+    # 64 reached production in round 5 and H=56 < 64 also pins the
+    # single-partial-tile padding path at the largest tile
+    t64 = rp.RasterConfig(tile_h=64, tile_w=128, chunk=32,
+                          stream_window=128, big_capacity=512,
+                          big_scale=2, interpret=True)
+    cfgs = [t64] + [_random_cfg(rng) for _ in range(6)]
+    for trial, cfg in enumerate(cfgs):
         d, w, n, e, o = rp.rasterize(tc, H, W, tri_clip=clip, cfg=cfg)
         assert not bool(np.asarray(o).any()), (trial, cfg)
         np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w),
