@@ -1066,6 +1066,29 @@ def test_fragment_fn_bad_arity_rejected_at_create():
                         fragment_fn=lambda v, ctx, extra: v)
 
 
+def test_clear_color_cache_bounded():
+    """An app animating its clear color must not leak one device array
+    per distinct color (ADVICE r4): the by-value cache evicts past 64
+    entries, and rendering stays correct across evictions."""
+    rend, window = make_renderer()
+    pipe, layout = flat_pipeline(rend)
+    node = triangle_node(rend, pipe, layout,
+                         [(0.1, 0.1), (0.9, 0.1), (0.1, 0.9)])
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    draw = Draw.create(rend)
+    for i in range(80):
+        g = (i + 1) / 100.0
+        draw.begin()
+        draw.clear((0.0, g, 0.0, 1.0))
+        draw.draw_surface(surf)
+        fb = draw.end()
+        rend.update()
+        assert len(draw._clear_cache) <= 64
+    # the final frame actually used the final color
+    assert abs(float(np.asarray(fb)[2, 60, 1]) - 0.80) < 1e-6
+
+
 def test_fragment_arity_contract():
     """FragmentCtx opt-in rules: a second REQUIRED positional param, or
     one defaulted and NAMED ``ctx`` (so ``f(vary, ctx=None)`` receives
