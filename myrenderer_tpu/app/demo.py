@@ -144,6 +144,10 @@ def main(argv=None):
                     help="print steady-state ms/frame")
     ap.add_argument("--dump-dir", default=None,
                     help="write every frame as frame_%%04d.png")
+    ap.add_argument("--gif", default=None,
+                    help="write all --frames frames as one animated GIF"
+                         " — the headless stand-in for the reference's"
+                         " animated window (App.zig:40,52)")
     from ..ops.raster_pallas import RASTER_FLAG_HELP, config_from_flag
     ap.add_argument("--raster", default=None, help=RASTER_FLAG_HELP)
     args = ap.parse_args(argv)
@@ -163,6 +167,21 @@ def main(argv=None):
             save_rgba8(os.path.join(args.dump_dir, f"frame_{i:04d}.png"),
                        app.window.read_pixels())
         print(f"wrote {args.frames} frames to {args.dump_dir}")
+        return
+
+    if args.gif:
+        from PIL import Image
+        imgs = []
+        for _ in range(args.frames):
+            app.tick()
+            imgs.append(Image.fromarray(
+                app.window.read_pixels(), "RGBA").convert("RGB"))
+        # replay at the app's fixed step (GIF durations are in ms and
+        # most decoders clamp below ~20 ms)
+        dur = max(20, round((app.fixed_timestep or 1 / 60) * 1000))
+        imgs[0].save(args.gif, save_all=True, append_images=imgs[1:],
+                     duration=dur, loop=0)
+        print(f"wrote {args.gif} ({args.frames} frames)")
         return
 
     app.tick()  # warmup/compile

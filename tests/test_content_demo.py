@@ -194,3 +194,21 @@ def test_terrain_batch_vertex_path_matches_vmap():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(vary_v), np.asarray(vary_b),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_demo_gif_cli(tmp_path):
+    """``--gif`` writes an animated GIF of the orbit — the headless
+    presentation stand-in for the reference's animated window
+    (``App.zig:40,52``)."""
+    from myrenderer_tpu.app.demo import main
+    out = tmp_path / "orbit.gif"
+    main(["--size", "96x96", "--frames", "3", "--backend", "oracle",
+          "--gif", str(out)])
+    from PIL import Image
+    im = Image.open(out)
+    assert im.n_frames == 3 and im.size == (96, 96)
+    im.seek(0)
+    first = np.asarray(im.convert("RGB")).copy()
+    im.seek(2)
+    third = np.asarray(im.convert("RGB"))
+    assert (first != third).any()     # the camera actually orbits
