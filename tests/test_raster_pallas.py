@@ -541,3 +541,33 @@ def test_auto_config_is_the_planner_default():
     render_frame(rend, [surf])
     plan = draw._get_plan(window)
     assert (plan.raster_cfg.tile_h, plan.raster_cfg.chunk) == (8, 8)
+
+
+def test_auto_config_reselects_on_resize():
+    """auto_config is per-(resolution, occupancy): a window resize that
+    crosses a px/tri threshold re-picks the tile size on the next plan
+    (the reference renders at any window size with no knob,
+    ``Surface.zig:76-94``; round 5)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_render_e2e import (flat_pipeline, make_renderer,
+                                 ortho_unit, render_frame, triangle_node)
+
+    from myrenderer_tpu import Surface
+
+    rend, window = make_renderer(12, 16, backend="pallas")
+    pipe, layout = flat_pipeline(rend)
+    node = triangle_node(rend, pipe, layout,
+                         [(0.1, 0.1), (0.9, 0.1), (0.1, 0.9)])
+    surf = Surface.create_window_scene(rend, window, node)
+    surf.set_perspective(ortho_unit())
+    render_frame(rend, [surf])
+    draw = rend.draws[-1]
+    t_small = rp.auto_config(12, 16, 1).tile_h
+    assert draw._get_plan(window).raster_cfg.tile_h == t_small == 16
+
+    surf.resize((64, 64))                    # 192 -> 4096 px/tri
+    render_frame(rend, [surf])
+    t_big = rp.auto_config(64, 64, 1).tile_h
+    assert draw._get_plan(window).raster_cfg.tile_h == t_big == 64
