@@ -24,12 +24,15 @@ model output (2026-08-20):
 
 i.e. the boundary-chunk slack fraction GROWS with the auto ladder:
 tile area scales ~ px/tri so the median entries/tile stays ~8-15 while
-the chunk stays 32. This motivated the round-5 batch-20 downward chunk
-sweep at 4K/8K (chunks < 32 had only ever been swept at 1080p, where
-the synthetic U-curve said c32; see BASELINE.md). The model counts
-eval SLOTS only — the per-chunk fixed cost (~110-220 ns: loop step +
-plane-recovery matmul issue) is what pushes the optimum above c8 on
-dense tiles; the hardware A/B decides.
+the chunk stays 32. This motivated the round-5 batch-19 downward chunk
+sweep (chunks < 32 had only ever been swept at 1080p, where the
+synthetic U-curve said c32). RESULT (BASELINE.md batch 19): 8K t64c16
+measured a wash-to-slight-loss vs the c32 anchors (41.39 vs
+40.71/41.21 ms same-batch) — the model counts eval SLOTS only, and the
+~110-220 ns per-chunk fixed cost (loop step + plane-recovery matmul
+issue) on 2x the chunks cancels the 1.52x slot saving: slack rows are
+masked-dead VPU lanes inside an already-issued block. chunk 32 stays;
+keep this model as the screening tool, the hardware A/B decides.
 
 Usage (CPU, no TPU needed):
   python tools/tile_occupancy.py
