@@ -31,8 +31,9 @@ measured a wash-to-slight-loss vs the c32 anchors (41.39 vs
 40.71/41.21 ms same-batch) — the model counts eval SLOTS only, and the
 ~110-220 ns per-chunk fixed cost (loop step + plane-recovery matmul
 issue) on 2x the chunks cancels the 1.52x slot saving: slack rows are
-masked-dead VPU lanes inside an already-issued block. chunk 32 stays;
-keep this model as the screening tool, the hardware A/B decides.
+masked-dead VPU lanes inside an already-issued block; the 4K leg read
+the same wash (t32c16 11.49 vs c32 11.39 ms back-to-back). chunk 32
+stays; keep this model as a screening tool, the hardware A/B decides.
 
 Usage (CPU, no TPU needed):
   python tools/tile_occupancy.py
